@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core — the scalar-query surface a Milvus user has (filtered
+  * scans, top-k) plus the analytics engine basics. All declarative Column
+  * code: Catalyst handles pushdown/pruning/broadcast; AQE re-plans at runtime.
+  *
+  * Float aggregates are round(_, 4)-ed so summation order (Spark partial
+  * aggs vs DuckDB single-threaded) can't produce ulp drift in the oracle
+  * hash compare.
+  */
+object Relational {
+  import graft.Tables._
+
+  /** Grouped aggregation with map-side partials (TPC-H Q1 shape).
+    * Scale: one shuffle on the (tiny-cardinality) group key; partial
+    * aggregation reduces each map task's output to a handful of rows.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** 3-way join + agg + top-k (TPC-H Q3 shape). Customer side is small →
+    * broadcast; the orders↔lineitem join shuffles on orderkey. Top-k via
+    * sort+limit compiles to TakeOrderedAndProject (per-partition partial
+    * top-k, no global sort).
+    */
+  def q3JoinTopk(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = lineitem(spark, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .select(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Multi-way star join with broadcast dims (TPC-H Q5 shape).
+    * region/nation/supplier are broadcast (tiny); the big fact joins shuffle
+    * on their keys once each; AQE picks broadcast automatically below the
+    * threshold — we force it for the guaranteed-small dims.
+    */
+  def q5StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val asia = region(spark, dir).filter(col("r_name") === "ASIA").select("r_regionkey")
+    val nat = nation(spark, dir).join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp = supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey")
+    val li = lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+  }
+
+  /** Window functions: rank within partition + filter on rank. One shuffle
+    * on the partition key; rank needs a per-partition sort only.
+    */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 4).as("o_totalprice"), col("rk"))
+  }
+
+  /** Predicate + projection pushdown (TPC-H Q6 shape). The filter and the
+    * 3-column projection must reach the parquet scan (PushedFilters /
+    * ReadSchema) — at 100 TB this is the difference between reading 3
+    * columns of a year and the whole table.
+    */
+  def qScalarFilter(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  /** Exact distinct counting per group — two-phase (partial distinct
+    * map-side under Spark's expand/agg planning).
+    */
+  def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 4).as("total_value"))
+
+  /** Global top-k: ORDER BY + LIMIT → TakeOrderedAndProject (each partition
+    * keeps k rows, driver merges k*numPartitions — no full sort/shuffle).
+    */
+  def qTopkOrders(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+}
