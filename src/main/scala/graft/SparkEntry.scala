@@ -19,6 +19,15 @@ object SparkEntry {
     "q_scalar_filter" -> (Relational.qScalarFilter _),
     "q_count_distinct" -> (Relational.qCountDistinct _),
     "q_topk_orders" -> (Relational.qTopkOrders _),
+    "cdc_state_snapshot" -> (graft.cdc.Cdc.stateSnapshot _),
+    "cdc_latest_upsert" -> (graft.cdc.Cdc.latestUpsert _),
+    "cdc_replica_diff" -> (graft.cdc.Cdc.replicaDiff _),
+    "cdc_msg_count" -> (graft.cdc.Cdc.msgCount _),
+    "cdc_channel_watermark" -> (graft.cdc.Cdc.channelWatermark _),
+    "cdc_barrier_ts" -> (graft.cdc.Cdc.barrierTs _),
+    "cdc_ordering_audit" -> (graft.cdc.Cdc.orderingAudit _),
+    "cdc_replay_dedup" -> (graft.cdc.Cdc.replayDedup _),
+    "cdc_tail_lag" -> (graft.cdc.Cdc.tailLag _),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -87,5 +96,93 @@ object SparkEntry {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 20""".stripMargin,
+    "cdc_state_snapshot" ->
+      """SELECT * FROM (
+        |  SELECT user_id, CAST(user_id % 4 AS BIGINT) AS channel,
+        |    CAST(max(ts) FILTER (WHERE event_type <> 'error') AS TIMESTAMP) AS last_upsert_ts,
+        |    CAST(max(ts) FILTER (WHERE event_type = 'error') AS TIMESTAMP) AS last_delete_ts,
+        |    count(*) FILTER (WHERE event_type <> 'error') AS upserts,
+        |    count(*) FILTER (WHERE event_type = 'error') AS deletes
+        |  FROM events GROUP BY user_id) t
+        |WHERE last_upsert_ts IS NOT NULL
+        |  AND (last_delete_ts IS NULL OR last_upsert_ts >= last_delete_ts)""".stripMargin,
+    "cdc_latest_upsert" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  round(value, 4) AS last_value, CAST(ts AS TIMESTAMP) AS last_ts
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type <> 'error') t
+        |WHERE rn = 1""".stripMargin,
+    "cdc_replica_diff" ->
+      """WITH folda AS (
+        |  SELECT user_id,
+        |    max(ts) FILTER (WHERE event_type <> 'error') AS u,
+        |    max(ts) FILTER (WHERE event_type = 'error') AS d
+        |  FROM events GROUP BY user_id),
+        |foldb AS (
+        |  SELECT user_id,
+        |    max(ts) FILTER (WHERE event_type <> 'error') AS u,
+        |    max(ts) FILTER (WHERE event_type = 'error') AS d
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-20' GROUP BY user_id),
+        |j AS (
+        |  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |    coalesce(a.u IS NOT NULL AND (a.d IS NULL OR a.u >= a.d), FALSE) AS alive_a,
+        |    coalesce(b.u IS NOT NULL AND (b.d IS NULL OR b.u >= b.d), FALSE) AS alive_b
+        |  FROM folda a FULL OUTER JOIN foldb b ON a.user_id = b.user_id)
+        |SELECT user_id, alive_a, alive_b,
+        |  CASE WHEN alive_a AND NOT alive_b THEN 'a_only'
+        |       WHEN NOT alive_a AND alive_b THEN 'b_only'
+        |       WHEN alive_a AND alive_b THEN 'both_alive'
+        |       ELSE 'both_dead' END AS diff_class
+        |FROM j WHERE NOT (alive_a AND alive_b)""".stripMargin,
+    "cdc_msg_count" ->
+      """SELECT CAST(user_id % 4 AS BIGINT) AS channel, count(*) AS msgs,
+        |  CAST(min(ts) AS TIMESTAMP) AS first_ts, CAST(max(ts) AS TIMESTAMP) AS last_ts
+        |FROM events WHERE ts > TIMESTAMP '2024-01-20'
+        |GROUP BY 1""".stripMargin,
+    "cdc_channel_watermark" ->
+      """SELECT channel, channel_max_ts, channel_cnt,
+        |  min(channel_max_ts) OVER () AS global_watermark
+        |FROM (
+        |  SELECT CAST(user_id % 4 AS BIGINT) AS channel,
+        |    CAST(max(ts) AS TIMESTAMP) AS channel_max_ts, count(*) AS channel_cnt
+        |  FROM events GROUP BY 1) t""".stripMargin,
+    "cdc_barrier_ts" ->
+      """WITH ddls AS (
+        |  SELECT event_id AS ddl_id, ts AS ddl_ts FROM events
+        |  WHERE event_type = 'signup' AND event_id % 500 = 0),
+        |ch AS (SELECT user_id % 4 AS channel, ts FROM events),
+        |crossings AS (
+        |  SELECT ddl_id, ddl_ts, channel, min(ts) AS first_crossing
+        |  FROM ch JOIN ddls ON ts >= ddl_ts
+        |  GROUP BY ddl_id, ddl_ts, channel)
+        |SELECT ddl_id, CAST(ddl_ts AS TIMESTAMP) AS ddl_ts,
+        |  CAST(max(first_crossing) AS TIMESTAMP) AS barrier_ts
+        |FROM crossings GROUP BY ddl_id, ddl_ts HAVING count(*) = 4""".stripMargin,
+    "cdc_ordering_audit" ->
+      """SELECT channel, count(*) FILTER (WHERE ts < prev_max) AS out_of_order,
+        |  count(*) AS total
+        |FROM (
+        |  SELECT CAST(user_id % 4 AS BIGINT) AS channel, ts,
+        |    max(ts) OVER (PARTITION BY user_id % 4 ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM events) t
+        |GROUP BY channel""".stripMargin,
+    "cdc_replay_dedup" ->
+      """WITH ev AS (SELECT CAST(user_id % 4 AS BIGINT) AS channel, event_id, ts FROM events),
+        |rep AS (SELECT * FROM ev
+        |        UNION ALL SELECT * FROM ev WHERE ts > TIMESTAMP '2024-01-20')
+        |SELECT channel, count(*) AS raw_cnt, count(DISTINCT event_id) AS dedup_cnt
+        |FROM rep GROUP BY channel""".stripMargin,
+    "cdc_tail_lag" ->
+      """SELECT channel, checkpoint_ts, head_ts, pending,
+        |  epoch_ms(head_ts) - epoch_ms(checkpoint_ts) AS lag_ms
+        |FROM (
+        |  SELECT CAST(user_id % 4 AS BIGINT) AS channel,
+        |    CAST(max(ts) FILTER (WHERE ts <= TIMESTAMP '2024-01-20') AS TIMESTAMP) AS checkpoint_ts,
+        |    CAST(max(ts) AS TIMESTAMP) AS head_ts,
+        |    count(*) FILTER (WHERE ts > TIMESTAMP '2024-01-20') AS pending
+        |  FROM events GROUP BY 1) t""".stripMargin,
   )
 }

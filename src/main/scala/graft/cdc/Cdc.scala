@@ -1,0 +1,180 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch CDC semantics re-expressed from the reference (milvus-cdc).
+  *
+  * Stream mapping over the `events` table: PK = `user_id`, logical TS =
+  * `ts`, channel = `pmod(user_id, 4)` (channels partition the PK space,
+  * like Milvus vchannels), upsert = event_type ∈ {view,click,purchase,
+  * signup}, delete-tombstone = event_type = 'error'.
+  *
+  * Reference semantics mirrored (file:line cites in each op):
+  * - state fold / ValidData: server/tool/data_diff/main.go:160-175
+  * - replica diff: server/tool/data_diff/main.go:104-143
+  * - watermark (min across channels): core/reader/ts_manager.go:162-216
+  * - data barrier: core/reader/data_barrier.go:27-60
+  * - msg counting from a position: server/tool/msg_count/main.go
+  *
+  * Scale posture: every op is a single hash shuffle on its natural key
+  * (PK or channel) with map-side partial aggregation; channel-level results
+  * are 4 rows, so the driver-side reduce is trivial at any data size.
+  */
+object Cdc {
+  import graft.Tables.events
+
+  val NumChannels = 4
+  val Checkpoint = "2024-01-20"
+
+  private def withChannel(df: DataFrame): Column = pmod(col("user_id"), lit(NumChannels))
+  private def isDelete: Column = col("event_type") === "error"
+
+  /** Per-PK insert/delete fold → alive rows, i.e. the reference's
+    * ValidData: alive iff max(upsert_ts) >= max(delete_ts), absent side =
+    * -inf (data_diff/main.go:160-175). One shuffle on user_id, partial
+    * max/count map-side.
+    */
+  def stateSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    ev.groupBy(col("user_id"))
+      .agg(
+        max(when(!isDelete, col("ts"))).as("last_upsert_ts"),
+        max(when(isDelete, col("ts"))).as("last_delete_ts"),
+        count(when(!isDelete, lit(1))).as("upserts"),
+        count(when(isDelete, lit(1))).as("deletes"))
+      .withColumn("channel", pmod(col("user_id"), lit(NumChannels)))
+      .filter(col("last_upsert_ts").isNotNull &&
+        (col("last_delete_ts").isNull || col("last_upsert_ts") >= col("last_delete_ts")))
+      .select("user_id", "channel", "last_upsert_ts", "last_delete_ts", "upserts", "deletes")
+  }
+
+  /** Last-write-wins latest upsert per PK (the materialized row a target
+    * replica holds after replay). Deterministic tiebreak on event_id.
+    */
+  def latestUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(spark, dir)
+      .filter(!isDelete)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        round(col("value"), 4).as("last_value"), col("ts").as("last_ts"))
+  }
+
+  /** Diff two replicas' folded states: A = full stream, B = prefix up to
+    * the checkpoint (a lagged standby). Classification mirrors
+    * diffA/diffB in data_diff/main.go:104-143.
+    */
+  def replicaDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    def fold(df: DataFrame, aliveCol: String): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(when(!isDelete, col("ts"))).as("u"), max(when(isDelete, col("ts"))).as("d"))
+        .select(col("user_id"),
+          (col("u").isNotNull && (col("d").isNull || col("u") >= col("d"))).as(aliveCol))
+    val a = fold(ev, "alive_a")
+    val b = fold(ev.filter(col("ts") <= to_timestamp(lit(Checkpoint))), "alive_b")
+    a.join(b, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("alive_a"), lit(false)).as("alive_a"),
+        coalesce(col("alive_b"), lit(false)).as("alive_b"))
+      .withColumn("diff_class",
+        when(col("alive_a") && !col("alive_b"), "a_only")
+          .when(!col("alive_a") && col("alive_b"), "b_only")
+          .when(col("alive_a") && col("alive_b"), "both_alive")
+          .otherwise("both_dead"))
+      .filter(col("diff_class") =!= "both_alive")
+  }
+
+  /** Events per channel after a checkpoint position — msg_count tool:
+    * "how many messages from the saved position to the head".
+    */
+  def msgCount(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("ts") > to_timestamp(lit(Checkpoint)))
+      .groupBy(pmod(col("user_id"), lit(NumChannels)).as("channel"))
+      .agg(count(lit(1)).as("msgs"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+
+  /** Per-channel high watermark + the global replication watermark =
+    * min over channels of the channel max TS (ts_manager.GetMinTS:
+    * core/reader/ts_manager.go:162-216). 4-row aggregate → the global
+    * min is a window over a single tiny partition.
+    */
+  def channelWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val perChannel = events(spark, dir)
+      .groupBy(pmod(col("user_id"), lit(NumChannels)).as("channel"))
+      .agg(max(col("ts")).as("channel_max_ts"), count(lit(1)).as("channel_cnt"))
+    perChannel.withColumn("global_watermark",
+      min(col("channel_max_ts")).over(Window.partitionBy()))
+  }
+
+  /** Data-barrier completion: a DDL stamped at ts T applies only after
+    * every channel has delivered a message with ts >= T
+    * (core/reader/data_barrier.go:27-60). DDL markers: sampled signup
+    * events. barrier_ts = max over channels of the first per-channel
+    * crossing. The DDL set is tiny → broadcast; the range condition stays
+    * a broadcast-join filter, no shuffle of the event stream.
+    */
+  def barrierTs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val ddls = ev.filter(col("event_type") === "signup" && col("event_id") % 500 === 0)
+      .select(col("event_id").as("ddl_id"), col("ts").as("ddl_ts"))
+    val crossings = ev
+      .select(pmod(col("user_id"), lit(NumChannels)).as("channel"), col("ts"))
+      .join(broadcast(ddls), col("ts") >= col("ddl_ts"))
+      .groupBy(col("ddl_id"), col("ddl_ts"), col("channel"))
+      .agg(min(col("ts")).as("first_crossing"))
+    crossings.groupBy(col("ddl_id"), col("ddl_ts"))
+      .agg(count(lit(1)).as("channels_crossed"),
+        max(col("first_crossing")).as("barrier_ts"))
+      .filter(col("channels_crossed") === NumChannels)
+      .select(col("ddl_id"), col("ddl_ts"), col("barrier_ts"))
+  }
+
+  /** Out-of-order arrival audit per channel: an event is out of order if
+    * its ts is behind the running max of earlier (by event_id = MQ offset)
+    * events in its channel.
+    */
+  def orderingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("channel")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .select(pmod(col("user_id"), lit(NumChannels)).as("channel"), col("event_id"), col("ts"))
+      .withColumn("prev_max", max(col("ts")).over(w))
+      .groupBy(col("channel"))
+      .agg(count(when(col("ts") < col("prev_max"), lit(1))).as("out_of_order"),
+        count(lit(1)).as("total"))
+  }
+
+  /** Replay dedup: replaying from a checkpoint re-delivers the tail; the
+    * reader drops already-seen positions. Simulate the duplicated stream
+    * (full ∪ tail) and dedup keep-one by (channel, event_id).
+    */
+  def replayDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(pmod(col("user_id"), lit(NumChannels)).as("channel"), col("event_id"), col("ts"))
+    val replayed = ev.unionAll(ev.filter(col("ts") > to_timestamp(lit(Checkpoint))))
+    replayed.groupBy(col("channel"))
+      .agg(count(lit(1)).as("raw_cnt"),
+        countDistinct(col("event_id")).as("dedup_cnt"))
+  }
+
+  /** Replication lag per channel from a checkpoint: pending message count
+    * and time distance between the last ack'd TS and the head TS.
+    */
+  def tailLag(spark: SparkSession, dir: String): DataFrame = {
+    val cp = to_timestamp(lit(Checkpoint))
+    events(spark, dir)
+      .groupBy(pmod(col("user_id"), lit(NumChannels)).as("channel"))
+      .agg(
+        max(when(col("ts") <= cp, col("ts"))).as("checkpoint_ts"),
+        max(col("ts")).as("head_ts"),
+        count(when(col("ts") > cp, lit(1))).as("pending"))
+      .withColumn("lag_ms", unix_millis(col("head_ts")) - unix_millis(col("checkpoint_ts")))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.cdc.Cdc
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+
+  test("stateSnapshot keeps only alive PKs (ValidData fold)") {
+    val rows = Cdc.stateSnapshot(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val up = r.getAs[java.sql.Timestamp]("last_upsert_ts")
+      val del = r.getAs[java.sql.Timestamp]("last_delete_ts")
+      assert(up != null)
+      if (del != null) assert(!up.before(del))
+    }
+  }
+
+  test("latestUpsert returns exactly one row per alive-upserting PK") {
+    val df = Cdc.latestUpsert(spark, sfDir)
+    assert(df.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("replicaDiff never reports both_alive") {
+    val classes = Cdc.replicaDiff(spark, sfDir).select("diff_class")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(!classes.contains("both_alive"))
+  }
+
+  test("channelWatermark global watermark = min of channel maxes") {
+    val rows = Cdc.channelWatermark(spark, sfDir).collect()
+    assert(rows.length == Cdc.NumChannels)
+    val maxes = rows.map(_.getAs[java.sql.Timestamp]("channel_max_ts"))
+    val global = rows.map(_.getAs[java.sql.Timestamp]("global_watermark")).distinct
+    assert(global.length == 1 && global.head == maxes.min)
+  }
+
+  test("barrierTs crossings are >= the DDL ts and complete on all channels") {
+    val rows = Cdc.barrierTs(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("barrier_ts")
+        .before(r.getAs[java.sql.Timestamp]("ddl_ts")))
+    }
+  }
+
+  test("replayDedup recovers the original per-channel counts") {
+    val orig = graft.Tables.events(spark, sfDir)
+      .groupBy(pmod(col("user_id"), lit(Cdc.NumChannels)).as("channel")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Cdc.replayDedup(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("dedup_cnt") == orig(r.getAs[Long]("channel")))
+      assert(r.getAs[Long]("raw_cnt") >= r.getAs[Long]("dedup_cnt"))
+    }
+  }
+
+  test("tailLag pending + checkpoint are consistent") {
+    Cdc.tailLag(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("lag_ms") >= 0)
+      assert(r.getAs[Long]("pending") >= 0)
+    }
+  }
+
+  test("barrier join broadcasts the DDL side (no event-stream shuffle join)") {
+    assert(planOf(Cdc.barrierTs(spark, sfDir)).contains("BroadcastNestedLoopJoin"))
+  }
+}
