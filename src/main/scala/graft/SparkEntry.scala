@@ -28,6 +28,14 @@ object SparkEntry {
     "cdc_ordering_audit" -> (graft.cdc.Cdc.orderingAudit _),
     "cdc_replay_dedup" -> (graft.cdc.Cdc.replayDedup _),
     "cdc_tail_lag" -> (graft.cdc.Cdc.tailLag _),
+    "text_token_count" -> (Text.tokenCount _),
+    "text_quality" -> (Text.quality _),
+    "text_langid" -> (Text.langid _),
+    "text_fingerprint" -> (Text.fingerprint _),
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -184,5 +192,69 @@ object SparkEntry {
         |    CAST(max(ts) AS TIMESTAMP) AS head_ts,
         |    count(*) FILTER (WHERE ts > TIMESTAMP '2024-01-20') AS pending
         |  FROM events GROUP BY 1) t""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 4) AS uniq_ratio,
+        |  round(CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','is'))) AS DOUBLE) / len(tk), 4) AS stop_ratio,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+        |  round(0.4 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+        |      + 0.4 * (1.0 - CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','is'))) AS DOUBLE) / len(tk))
+        |      + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)), 4) AS score
+        |FROM t""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','is'))) AS BIGINT) AS s_en,
+        |    len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        |    len(list_filter(tk, x -> x IN ('el','los','las','y','es'))) AS s_es,
+        |    len(list_filter(tk, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+        |    len(list_filter(tk, x -> x IN ('de','shi','le','bu','wo'))) AS s_zh
+        |  FROM t),
+        |g AS (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS mx,
+        |    CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |         ELSE 'zh' END AS guess
+        |  FROM s)
+        |SELECT doc_id, lang AS label_lang, guess, guess = lang AS is_match, s_en
+        |FROM g""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS n_norm_chars
+        |FROM documents""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS canonical_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) AS jaccard
+        |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) >= 0.1""".stripMargin,
   )
 }

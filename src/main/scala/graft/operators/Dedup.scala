@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents` — exact, n-gram Jaccard, MinHash-LSH,
+  * SimHash. The exact-Jaccard token join is the small-SF oracle; MinHash-LSH
+  * and SimHash are the 100 TB scale paths (candidate generation stays
+  * ~linear via band/chunk bucketing instead of the quadratic gram join).
+  */
+object Dedup {
+  import graft.Tables._
+  import Text.{normText, toks}
+
+  /** Distinct token-3-gram shingles per doc: (doc_id, gram). Narrow map +
+    * explode; dedup of grams happens map-side via array_distinct (no
+    * shuffle).
+    */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val grams = when(size(t) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+    docs.select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
+  }
+
+  /** Exact dedup: md5(normalized text) → canonical doc per group.
+    * Scale: one shuffle on the 128-bit fingerprint; partial agg map-side.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact token-3-gram Jaccard ≥ τ pairs via gram self-join.
+    * This is the ORACLE for near-dup detection: quadratic in docs sharing a
+    * gram, so it's the small-SF ground truth — [[minhashLsh]] is the scale
+    * path with the same verify step.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.1): DataFrame = {
+    val g = shingles(documents(spark, dir)).cache()
+    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("s"))
+    shared
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("s").cast("double") /
+          (col("ca.n") + col("cb.n") - col("s")).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** MinHash signature length / LSH banding: K = B*R. R=2, B=16 targets the
+    * τ≈0.5 similarity knee: P(candidate | j) = 1-(1-j²)¹⁶ → 0.99 at j=0.5,
+    * 0.15 at j=0.1.
+    */
+  private val R = 2
+  private val B = 16
+  private val K = R * B
+
+  /** MinHash signatures: per doc, K min-hashes over its shingles — one
+    * groupBy with K partial-aggregating mins (map-side combine; no row
+    * blowup). Seeded family via xxhash64(seed, gram).
+    */
+  private[operators] def minhashSignatures(docs: DataFrame): DataFrame =
+    shingles(docs)
+      .groupBy(col("doc_id"))
+      .agg(min(xxhash64(lit(0), col("gram"))).as("h0"),
+        (1 until K).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i")): _*)
+
+  /** MinHash+LSH near-dup pairs: sigs → band keys → bucket self-join →
+    * candidate pairs → exact-Jaccard verification ≥ τ.
+    * Scale: candidates ≈ linear (bucket join on 64-bit band keys); only
+    * candidate pairs pay the verification join — this is the operator you
+    * run at 100 TB where [[ngramJaccard]] cannot.
+    */
+  def minhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val docs = documents(spark, dir)
+    val sigs = minhashSignatures(docs)
+    val bandKey = (b: Int) =>
+      xxhash64(lit(b) +: (0 until R).map(r => col(s"h${b * R + r}")): _*)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until B).map(b => struct(lit(b).as("band"), bandKey(b).as("bk"))): _*))
+        .as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bk"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // Verify candidates with exact Jaccard over their shingle sets.
+    val g = shingles(docs)
+    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(g.as("gb"), col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("s"))
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("s").cast("double") /
+          (col("ca.n") + col("cb.n") - col("s")).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** 64-bit SimHash per doc: per-gram xxhash64, signed bit votes summed in
+    * 64 partial-aggregating columns (map-side combine, no explode blowup),
+    * fingerprint = sign bits repacked.
+    */
+  private[operators] def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val h = xxhash64(col("gram"))
+    val vote = (i: Int) =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    val votes = shingles(docs)
+      .groupBy(col("doc_id"))
+      .agg(vote(0), (1 until 64).map(vote): _*)
+    val fp = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ k. Pigeonhole banding:
+    * 4 chunks of 16 bits — Hamming ≤ 3 ⇒ at least one chunk identical, so a
+    * chunk-equality bucket join finds all pairs without the quadratic
+    * cross-join. Scale: same linear-candidates posture as LSH.
+    */
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val fps = simhashFingerprints(documents(spark, dir))
+    val chunks = fps.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ck"))): _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.chunk"), col("e.ck"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

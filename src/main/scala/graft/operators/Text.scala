@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over the `documents` corpus — the LLM-pipeline
+  * operators (token counting, quality scoring, language ID, fingerprinting)
+  * a training-data pipeline runs before dedup/filtering.
+  *
+  * Everything is a per-row Column expression → narrow map, no shuffle,
+  * whole-stage codegen. At 100 TB these run at parquet-scan speed; the only
+  * knob is `spark.sql.files.maxPartitionBytes` for task sizing.
+  *
+  * All regex/tokenization is kept to constructs with identical semantics in
+  * DuckDB (the oracle): `\s+` splits, ASCII character classes, md5 hex.
+  */
+object Text {
+  import graft.Tables._
+
+  /** Whitespace tokens of the lower-cased, trimmed text. */
+  private[operators] def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** English-ish stopword set shared with the quality score and langid. */
+  private val StopEn = Seq("the", "a", "and", "of", "is")
+
+  private def countIn(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words: _*)))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count
+    * (`[a-z0-9]+` runs and single non-space symbols), per doc.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("re_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, token
+    * uniqueness, and a composite score — the standard pre-training filters.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("double")
+    val uniq = size(array_distinct(t)).cast("double") / nTok
+    val stop = countIn(t, StopEn).cast("double") / nTok
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("double") /
+      length(col("text")).cast("double")
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(t).cast("long").as("n_tokens"),
+        round(uniq, 4).as("uniq_ratio"),
+        round(stop, 4).as("stop_ratio"),
+        round(punct, 4).as("punct_ratio"),
+        round(lit(0.4) * uniq + lit(0.4) * (lit(1.0) - stop) +
+          lit(0.2) * (lit(1.0) - punct), 4).as("score"))
+  }
+
+  /** Language ID: stopword-profile scoring per candidate language, argmax
+    * with a deterministic tie-break (en > de > es > fr > zh), 'und' when all
+    * profiles score zero. Compared against the labeled `lang` column.
+    */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val sEn = countIn(t, StopEn)
+    val sDe = countIn(t, Seq("der", "die", "und", "das", "ist"))
+    val sEs = countIn(t, Seq("el", "los", "las", "y", "es"))
+    val sFr = countIn(t, Seq("le", "la", "et", "les", "des"))
+    val sZh = countIn(t, Seq("de", "shi", "le", "bu", "wo"))
+    val mx = greatest(sEn, sDe, sEs, sFr, sZh)
+    val guess = when(mx === 0, lit("und"))
+      .when(sEn === mx, lit("en"))
+      .when(sDe === mx, lit("de"))
+      .when(sEs === mx, lit("es"))
+      .when(sFr === mx, lit("fr"))
+      .otherwise(lit("zh"))
+    documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang").as("label_lang"), guess.as("guess"),
+        (guess === col("lang")).as("is_match"),
+        sEn.cast("long").as("s_en"))
+  }
+
+  /** Normalized-content fingerprint: md5 over lower-cased, whitespace-
+    * collapsed, trimmed text. The dedup key for [[Dedup.exact]].
+    */
+  private[operators] def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(normText(col("text")).cast("binary")).as("fp"),
+        length(normText(col("text"))).cast("long").as("n_norm_chars"))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Dedup, Text}
+
+class TextDedupSpec extends SparkSpec {
+
+  test("text_token_count: ws_tokens <= re_tokens, all docs covered") {
+    val rows = Text.tokenCount(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ws_tokens") > 0)
+      assert(r.getAs[Long]("ws_tokens") <= r.getAs[Long]("re_tokens"))
+    }
+  }
+
+  test("text_quality: ratios in [0,1], score in (0,1]") {
+    Text.quality(spark, sfDir).collect().foreach { r =>
+      Seq("uniq_ratio", "stop_ratio", "punct_ratio").foreach { c =>
+        val v = r.getAs[Double](c); assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+      }
+      val s = r.getAs[Double]("score"); assert(s > 0.0 && s <= 1.0)
+    }
+  }
+
+  test("text_langid: guess is a known code; scores deterministic") {
+    val rows = Text.langid(spark, sfDir).collect()
+    val langs = Set("en", "de", "es", "fr", "zh", "und")
+    rows.foreach(r => assert(langs.contains(r.getAs[String]("guess"))))
+  }
+
+  test("text_fingerprint is deterministic and 32-hex") {
+    val rows = Text.fingerprint(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getAs[String]("fp").matches("[0-9a-f]{32}")))
+  }
+
+  test("text ops are narrow maps — no shuffle (Exchange) in the plan") {
+    Seq(Text.tokenCount(spark, sfDir), Text.quality(spark, sfDir),
+      Text.langid(spark, sfDir), Text.fingerprint(spark, sfDir)).foreach { df =>
+      assert(!planOf(df).contains("Exchange"), "per-row text op must not shuffle")
+    }
+  }
+
+  test("dedup_exact: groups partition the corpus") {
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    val groups = Dedup.exact(spark, sfDir).collect()
+    assert(groups.map(_.getAs[Long]("dup_count")).sum == docs)
+  }
+
+  test("minhash-lsh recovers exactly the >=tau exact-Jaccard pairs") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = pairs(Dedup.ngramJaccard(spark, sfDir, tau = 0.5))
+    val lsh = pairs(Dedup.minhashLsh(spark, sfDir, tau = 0.5))
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("simhash pairs are a subset of true near-dups (precision)") {
+    val exact = Dedup.ngramJaccard(spark, sfDir, tau = 0.1).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val sh = Dedup.simhash(spark, sfDir).collect()
+    assert(sh.nonEmpty)
+    sh.foreach { r =>
+      val p = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(exact.contains(p), s"simhash false positive $p")
+      assert(r.getAs[Long]("hamming") <= 3)
+    }
+  }
+}
