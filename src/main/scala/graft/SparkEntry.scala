@@ -36,6 +36,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "vec_knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
+    "vec_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
+    "vec_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "vec_ivf_search" -> ((s, d) => Similarity.ivfSearch(s, d)),
+    "vec_normalize" -> (Similarity.normalize _),
+    "vec_pairwise_dups" -> ((s, d) => Similarity.pairwiseDups(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -256,5 +262,55 @@ object SparkEntry {
         |  round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) AS jaccard
         |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) >= 0.1""".stripMargin,
+    "vec_knn_bruteforce" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(list_zip(n.embedding, qe),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * qn), 4) AS cos
+        |FROM n, q WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "vec_knn_join" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 8),
+        |s AS (SELECT q_id, n.vec_id,
+        |    round(list_sum(list_transform(list_zip(n.embedding, qe),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * qn), 4) AS cos
+        |  FROM n, q WHERE n.vec_id >= 8),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM s)
+        |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 3""".stripMargin,
+    "vec_range_search" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(list_zip(n.embedding, qe),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * qn), 4) AS cos
+        |FROM n, q WHERE vec_id <> 0
+        |  AND round(list_sum(list_transform(list_zip(n.embedding, qe),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * qn), 4) >= 0.25""".stripMargin,
+    "vec_normalize" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(nrm, 4) AS l2_norm,
+        |  round(CAST(embedding[1] AS DOUBLE) / nrm, 4) AS head_norm
+        |FROM n""".stripMargin,
+    "vec_pairwise_dups" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 4) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 4) >= 0.45""".stripMargin,
   )
 }

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `Array[Float]` columns as codegen'd higher-order
+  * functions (`zip_with`/`aggregate`) — no UDFs, so the expressions stay
+  * inside whole-stage codegen and Catalyst can see through them.
+  *
+  * All arithmetic is forced to Double BEFORE accumulation: the oracle
+  * (DuckDB) folds lists left-to-right in double too, so results agree to the
+  * last bit modulo round(_, 4) on the comparison surface. Summation is the
+  * sequential left fold over the array — same order on both engines.
+  *
+  * Mirrors the query surface of a Milvus collection's vector field
+  * (reference: the system milvus-cdc replicates; its search semantics are
+  * cosine/IP top-k and range search).
+  */
+object Vec {
+
+  /** Sequential left-fold sum of an array<double> expression. */
+  private def asum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product in double. */
+  def dot(a: Column, b: Column): Column =
+    asum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** L2 norm in double. */
+  def l2Norm(a: Column): Column =
+    sqrt(asum(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  /** Cosine similarity in double. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine given precomputed norms — avoids recomputing norms inside an
+    * N×M score loop (the norm is computed once per row, not once per pair).
+    */
+  def cosinePrenorm(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vec
+
+/** Similarity search over the `embeddings` table — the Milvus query surface
+  * (ANN top-k, range search) re-expressed Spark-first. Reference semantics:
+  * milvus-cdc replicates collections whose query API is scalar-filtered
+  * vector search; these operators ARE that query API on Spark.
+  *
+  * Scale posture: the query set is always broadcast (≤ MBs); scoring is a
+  * narrow map over the corpus (codegen'd HOFs, norms precomputed once per
+  * row); top-k goes through TakeOrderedAndProject (per-partition partial
+  * top-k) or a per-query window — never a global sort of the corpus.
+  * Brute force is the exactness baseline; [[ivfSearch]] is the 10⁹-vector
+  * path (centroid pruning cuts the scored candidates by ~nprobe/nlist).
+  */
+object Similarity {
+  import graft.Tables._
+
+  /** (vec_id, embedding, nrm) — norms computed once, reused per pair. */
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), Vec.l2Norm(col("embedding")).as("nrm"))
+
+  private def cosTo(qe: Column, qn: Column): Column =
+    round(Vec.cosinePrenorm(col("embedding"), qe, col("nrm"), qn), 4)
+
+  /** Cosine top-k for one fixed query vector (vec_id 0) — Milvus `search`.
+    * ORDER BY+LIMIT on the rounded score → TakeOrderedAndProject.
+    */
+  def knnBruteforce(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val n = normed(spark, dir)
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    n.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id"), cosTo(col("qe"), col("qn")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Top-k per query for a broadcast query set (vec_id < 8) against the
+    * corpus (vec_id >= 8) — Milvus batched `search`. One narrow scoring map
+    * (|corpus| × |queries| rows), then a per-query window rank; the shuffle
+    * key is q_id so ranking parallelizes across queries.
+    */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val n = normed(spark, dir)
+    val q = n.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = n.filter(col("vec_id") >= 8)
+      .join(broadcast(q))
+      .select(col("q_id"), col("vec_id"), cosTo(col("qe"), col("qn")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
+  /** All vectors with cosine ≥ τ to the query — Milvus range search. Pure
+    * filter over the scoring map: no shuffle at all.
+    */
+  def rangeSearch(spark: SparkSession, dir: String, tau: Double = 0.25): DataFrame = {
+    val n = normed(spark, dir)
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    n.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id"), cosTo(col("qe"), col("qn")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** Norm audit: L2 norm, dimension, first normalized component — the
+    * sanity pass before any cosine math (catches zero vectors / dim drift).
+    */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    normed(spark, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(col("nrm"), 4).as("l2_norm"),
+        round(element_at(col("embedding"), 1).cast("double") / col("nrm"), 4).as("head_norm"))
+
+  /** Embedding near-dup pairs: cosine ≥ τ, vec_id_a < vec_id_b. The exact
+    * quadratic baseline (broadcast nested-loop on the a<b band) — the
+    * LSH/IVF bucketing in [[ivfSearch]]/[[Dedup.simhash]] is the posture
+    * that replaces this at 10⁹ rows.
+    */
+  def pairwiseDups(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
+    val n = normed(spark, dir)
+    val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(Vec.cosinePrenorm(col("ea"), col("eb"), col("na"), col("nb")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** IVF-style ANN: `nlist` centroids (deterministic seed rows), each corpus
+    * vector assigned to its nearest centroid once (the "index build", one
+    * N×nlist scoring map), then the query probes only the `nprobe` nearest
+    * clusters — scoring ~nprobe/nlist of the corpus instead of all of it.
+    * Exactness within probed clusters; recall vs brute force is the spec's
+    * measured quantity. This is the 10⁹-vector scale path.
+    */
+  def ivfSearch(spark: SparkSession, dir: String, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val n = normed(spark, dir)
+    val cents = n.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    // Index build: nearest centroid per vector.
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = n.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        Vec.cosinePrenorm(col("embedding"), col("ce"), col("nrm"), col("cn")).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cluster"))
+    // Probe: the query's nprobe nearest centroids.
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val probed = cents.join(broadcast(q))
+      .select(col("cid"), Vec.cosinePrenorm(col("ce"), col("qe"), col("cn"), col("qn")).as("qcos"))
+      .orderBy(col("qcos").desc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").as("cluster"))
+    // Search only the probed clusters.
+    assigned.join(broadcast(probed), "cluster")
+      .filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("cluster"), cosTo(col("qe"), col("qn")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  test("vec_knn_bruteforce: k ordered results, scores in [-1,1]") {
+    val rows = Similarity.knnBruteforce(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val cos = rows.map(_.getAs[Double]("cos"))
+    assert(cos.sameElements(cos.sortBy(-_)))
+    cos.foreach(c => assert(c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("vec_knn_bruteforce broadcasts the query and takes top-k without global sort") {
+    val plan = planOf(Similarity.knnBruteforce(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("Broadcast"))
+  }
+
+  test("vec_knn_join: exactly k neighbors per query, ranked") {
+    val rows = Similarity.knnJoin(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 8)
+    byQ.values.foreach { g =>
+      assert(g.length == 3)
+      assert(g.map(_.getAs[Long]("rk")).sorted.sameElements(1L to 3L))
+      g.foreach(r => assert(r.getAs[Long]("vec_id") >= 8))
+    }
+  }
+
+  test("vec_range_search returns only scores >= tau") {
+    Similarity.rangeSearch(spark, sfDir, tau = 0.2).collect()
+      .foreach(r => assert(r.getAs[Double]("cos") >= 0.2))
+  }
+
+  test("vec_normalize: dim 64, unit-ish norms, no shuffle") {
+    val df = Similarity.normalize(spark, sfDir)
+    assert(!planOf(df).contains("Exchange"), "norm audit must be a narrow map")
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("dim") == 64)
+      assert(r.getAs[Double]("l2_norm") > 0.0)
+    }
+  }
+
+  test("vec_pairwise_dups: a<b, symmetric-free, thresholded") {
+    Similarity.pairwiseDups(spark, sfDir, tau = 0.3).collect().foreach { r =>
+      assert(r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b"))
+      assert(r.getAs[Double]("cos") >= 0.3)
+    }
+  }
+
+  test("vec_ivf_search: results scored exactly, recall measured vs brute force") {
+    val ivf = Similarity.ivfSearch(spark, sfDir).collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    // Exactness of the scoring stage: every IVF hit must carry the same
+    // rounded cosine the brute-force path computes for that vec_id.
+    val bfAll = Similarity.rangeSearch(spark, sfDir, tau = -1.1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    ivf.foreach(r => assert(bfAll(r.getAs[Long]("vec_id")) == r.getAs[Double]("cos")))
+    val bfTop = Similarity.knnBruteforce(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = ivf.count(r => bfTop.contains(r.getAs[Long]("vec_id"))).toDouble / bfTop.size
+    info(s"ivf recall@10 = $recall (nprobe=4/nlist=16, unclustered data)")
+    assert(recall >= 0.3, s"recall $recall below floor")
+  }
+}
