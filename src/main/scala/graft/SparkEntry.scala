@@ -42,6 +42,10 @@ object SparkEntry {
     "vec_ivf_search" -> ((s, d) => Similarity.ivfSearch(s, d)),
     "vec_normalize" -> (Similarity.normalize _),
     "vec_pairwise_dups" -> ((s, d) => Similarity.pairwiseDups(s, d)),
+    "stream_cdc_state" -> (graft.streaming.CdcStream.cdcState _),
+    "stream_window_counts" -> (graft.streaming.CdcStream.windowCounts _),
+    "mm_decode_meta" -> (Multimodal.decodeMeta _),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -312,5 +316,34 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 4) >= 0.45""".stripMargin,
+    // Streaming fold ≡ batch fold — shares the batch snapshot's oracle.
+    "stream_cdc_state" ->
+      """SELECT * FROM (
+        |  SELECT user_id, CAST(user_id % 4 AS BIGINT) AS channel,
+        |    CAST(max(ts) FILTER (WHERE event_type <> 'error') AS TIMESTAMP) AS last_upsert_ts,
+        |    CAST(max(ts) FILTER (WHERE event_type = 'error') AS TIMESTAMP) AS last_delete_ts,
+        |    count(*) FILTER (WHERE event_type <> 'error') AS upserts,
+        |    count(*) FILTER (WHERE event_type = 'error') AS deletes
+        |  FROM events GROUP BY user_id) t
+        |WHERE last_upsert_ts IS NOT NULL
+        |  AND (last_delete_ts IS NULL OR last_upsert_ts >= last_delete_ts)""".stripMargin,
+    "stream_window_counts" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |  CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+        |  event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "mm_decode_meta" ->
+      """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CAST(64 + (CAST(length(text) AS BIGINT) * 2654435761) % 960 AS BIGINT) AS width,
+        |  CAST(64 + (CAST(length(text) AS BIGINT) * 40503) % 704 AS BIGINT) AS height,
+        |  CAST((length(text) - 1) // 256 + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(i * 256 AS BIGINT) AS byte_offset,
+        |  md5(substr(text, CAST(i * 256 + 1 AS INT), 64)) AS frame_md5,
+        |  CAST(length(substr(text, CAST(i * 256 + 1 AS INT), 64)) AS BIGINT) AS frame_bytes
+        |FROM documents, unnest(generate_series(0, (length(text) - 1) // 256)) AS u(i)""".stripMargin,
   )
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, decoded per-partition. The decode step is a
+  * DETERMINISTIC STUB (no image/audio libs in this environment) — it derives
+  * fake dimensions from the byte length and hashes the payload — but the
+  * Spark-side plumbing is real: binary column + metadata struct schema,
+  * column-pruned input, typed `mapPartitions` batch shape (one decoder
+  * instance per partition, the same contract a JNI/FFmpeg decoder needs),
+  * and deterministic frame sampling via byte-range slicing.
+  *
+  * The corpus blobs are the UTF-8 bytes of `documents.text` (pure ASCII in
+  * the testdata), which lets the DuckDB oracle recompute every derived value
+  * from the text column — the stub is oracle-checked, not just smoke-tested.
+  */
+object Multimodal {
+  import graft.Tables._
+
+  /** documents → (doc_id, content binary, meta struct) — the multimodal
+    * table shape: payload + typed sidecar metadata.
+    */
+  private[operators] def blobs(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("content"),
+      struct(col("n_chars"), col("source"), col("lang")).as("meta"))
+
+  /** Input slice for the decode stub (typed, column-pruned). */
+  case class Blob(doc_id: Long, content: Array[Byte], source: String)
+
+  /** Decoded record: payload digest + stub "dimensions". */
+  case class Decoded(doc_id: Long, source: String, byte_len: Long,
+      content_md5: String, width: Long, height: Long, n_frames: Long)
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  /** Per-partition decode: one MessageDigest ("decoder handle") per
+    * partition, streamed over the rows — the batch shape a real decoder
+    * (libjpeg/FFmpeg via JNI) plugs into. Runs AFTER column pruning: only
+    * (doc_id, content, source) reach the partition iterator.
+    */
+  def decodeMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in: Dataset[Blob] = blobs(spark, dir)
+      .select(col("doc_id"), col("content"), col("meta.source").as("source"))
+      .as[Blob]
+    in.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5") // per-partition decoder handle
+      rows.map { b =>
+        md.reset()
+        val digest = hex(md.digest(b.content))
+        val len = b.content.length.toLong
+        // STUB: a real decoder parses the container header here.
+        Decoded(b.doc_id, b.source, len, digest,
+          64L + (len * 2654435761L) % 960L, 64L + (len * 40503L) % 704L,
+          (len - 1L) / 256L + 1L)
+      }
+    }.toDF()
+  }
+
+  /** Deterministic frame sampling: every `stride` bytes, slice a
+    * `frameLen`-byte "frame" and fingerprint it — the video-keyframe shape
+    * (seek + bounded read) without a real container parser. Pure Column
+    * code: stays in whole-stage codegen, no shuffle.
+    */
+  def frameSample(spark: SparkSession, dir: String,
+      stride: Int = 256, frameLen: Int = 64): DataFrame = {
+    val nFrames = floor((length(col("content")).cast("long") - 1L) / stride).cast("long") + 1L
+    blobs(spark, dir)
+      .select(col("doc_id"), col("content"),
+        posexplode(sequence(lit(0L), nFrames - 1L)))
+      .select(
+        col("doc_id"), col("pos").cast("long").as("frame_idx"),
+        (col("pos").cast("long") * stride).as("byte_offset"),
+        md5(substring(col("content"), lit(1) + col("pos").cast("int") * stride, lit(frameLen)))
+          .as("frame_md5"),
+        length(substring(col("content"), lit(1) + col("pos").cast("int") * stride, lit(frameLen)))
+          .cast("long").as("frame_bytes"))
+  }
+}

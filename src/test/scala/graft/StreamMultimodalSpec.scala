@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.streaming.CdcStream
+
+class StreamMultimodalSpec extends SparkSpec {
+
+  test("stream_cdc_state equals the batch fold (same oracle)") {
+    val live = CdcStream.cdcState(spark, sfDir).collect()
+    val batch = graft.cdc.Cdc.stateSnapshot(spark, sfDir).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("upserts"),
+        r.getAs[Long]("deletes"))).toSet
+    assert(key(live) == key(batch))
+  }
+
+  test("stream_cdc_state folds incrementally across microbatches (MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcStream.Ev]
+    val folded = input.toDS().groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(CdcStream.foldPk)
+    val q = folded.toDF().writeStream.format("memory")
+      .queryName("spec_cdc_inc").outputMode("update").start()
+    // Batch 1: u1 upsert@10, u2 upsert@5. Batch 2: u1 delete@20 (tombstone wins).
+    input.addData(CdcStream.Ev(1L, 10L, "view"), CdcStream.Ev(2L, 5L, "click"))
+    q.processAllAvailable()
+    input.addData(CdcStream.Ev(1L, 20L, "error"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("spec_cdc_inc")
+      .groupBy("user_id").agg(max("lastDelete").as("ld"), max("upserts").as("up")).collect()
+      .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("ld"), r.getAs[Long]("up"))).toMap
+    assert(out(1L) == (20L, 1L), "state must carry across batches")
+    assert(out(2L)._2 == 1L)
+  }
+
+  test("stream_window_counts totals match the raw event count") {
+    val rows = CdcStream.windowCounts(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    assert(total == graft.Tables.events(spark, sfDir).count())
+    rows.foreach { r =>
+      val s = r.getAs[java.sql.Timestamp]("window_start")
+      val e = r.getAs[java.sql.Timestamp]("window_end")
+      assert(e.getTime - s.getTime == 86400000L, "1-day tumbling windows")
+    }
+  }
+
+  test("mm_decode_meta: deterministic stub decode, one row per blob") {
+    val rows = Multimodal.decodeMeta(spark, sfDir).collect()
+    assert(rows.length == graft.Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[String]("content_md5").matches("[0-9a-f]{32}"))
+      val w = r.getAs[Long]("width"); val h = r.getAs[Long]("height")
+      assert(w >= 64 && w < 1024 && h >= 64 && h < 768)
+    }
+  }
+
+  test("mm_frame_sample: offsets stride correctly, tail frame may be short") {
+    val rows = Multimodal.frameSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("byte_offset") == r.getAs[Long]("frame_idx") * 256)
+      val fb = r.getAs[Long]("frame_bytes")
+      assert(fb > 0 && fb <= 64)
+    }
+    // frame plumbing is pure Column code — no shuffle
+    assert(!planOf(Multimodal.frameSample(spark, sfDir)).contains("Exchange"))
+  }
+}
