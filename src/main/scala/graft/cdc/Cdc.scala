@@ -52,18 +52,22 @@ object Cdc {
 
   /** Last-write-wins latest upsert per PK (the materialized row a target
     * replica holds after replay). Deterministic tiebreak on event_id.
+    *
+    * max_by on a (ts, event_id) struct instead of a row_number window: the
+    * argmax folds map-side (partial aggregation), so only one row per PK per
+    * map task reaches the shuffle — a window would shuffle and sort the
+    * ENTIRE stream. At 100 TB that is the op's whole cost.
     */
-  def latestUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+  def latestUpsert(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .filter(!isDelete)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id").as("last_event_id"),
-        col("event_type").as("last_type"),
-        round(col("value"), 4).as("last_value"), col("ts").as("last_ts"))
-  }
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"),
+        round(col("m.value"), 4).as("last_value"), col("m.ts").as("last_ts"))
 
   /** Diff two replicas' folded states: A = full stream, B = prefix up to
     * the checkpoint (a lagged standby). Classification mirrors

@@ -17,18 +17,25 @@ import org.apache.spark.sql.functions._
   * cosine/IP top-k and range search).
   */
 object Vec {
+  import org.apache.spark.sql.GraftSql
 
   /** Sequential left-fold sum of an array<double> expression. */
   private def asum(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product in double. */
+  /** Dot product in double — native codegen'd loop ([[FloatDotProduct]]);
+    * identical fold order (and therefore bits) as [[dotHof]].
+    */
   def dot(a: Column, b: Column): Column =
+    GraftSql.column(FloatDotProduct(
+      GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** HOF formulation of [[dot]] — kept as the cross-check baseline. */
+  def dotHof(a: Column, b: Column): Column =
     asum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   /** L2 norm in double. */
-  def l2Norm(a: Column): Column =
-    sqrt(asum(transform(a, x => x.cast("double") * x.cast("double"))))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in double. */
   def cosine(a: Column, b: Column): Column =

@@ -67,8 +67,10 @@ object Dedup {
     * blowup). Seeded family via xxhash64(seed, gram).
     */
   private[operators] def minhashSignatures(docs: DataFrame): DataFrame =
-    shingles(docs)
-      .groupBy(col("doc_id"))
+    minhashSignaturesFrom(shingles(docs))
+
+  private def minhashSignaturesFrom(g: DataFrame): DataFrame =
+    g.groupBy(col("doc_id"))
       .agg(min(xxhash64(lit(0), col("gram"))).as("h0"),
         (1 until K).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i")): _*)
 
@@ -80,7 +82,10 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     val docs = documents(spark, dir)
-    val sigs = minhashSignatures(docs)
+    // Shingles feed both the signatures and the verification join — cache
+    // one copy instead of re-tokenizing the corpus twice.
+    val g = shingles(docs).cache()
+    val sigs = minhashSignaturesFrom(g)
     val bandKey = (b: Int) =>
       xxhash64(lit(b) +: (0 until R).map(r => col(s"h${b * R + r}")): _*)
     val bands = sigs.select(col("doc_id"),
@@ -92,8 +97,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Verify candidates with exact Jaccard over their shingle sets.
-    val g = shingles(docs)
+    // Verify candidates with exact Jaccard over their (cached) shingle sets.
     val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     cand
       .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))

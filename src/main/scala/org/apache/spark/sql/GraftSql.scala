@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column↔Expression converters — the
+  * standard pattern for libraries that ship custom Catalyst expressions
+  * without a SQL-function registration round-trip.
+  */
+object GraftSql {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
