@@ -39,4 +39,15 @@ object Tables {
     spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Ensure at least default parallelism before a compute-heavy map or
+    * nested-loop stage. A small single-file parquet scan is ONE split, so
+    * an O(n²) stage downstream would run on one core; the tiny repartition
+    * fixes that. At real data sizes the scan is already well-split and this
+    * is a no-op (the condition is false) — it never adds a shuffle at scale.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 }

@@ -17,11 +17,18 @@ object Dedup {
     * shuffle).
     */
   private def shingles(docs: DataFrame): DataFrame = {
-    val t = toks(col("text"))
+    // Materialize the token array in its own projection FIRST: referencing
+    // the split expression directly inside the transform lambda would
+    // re-tokenize the document once per gram index (O(tokens²) per doc —
+    // measured 5× slower at sf0.1). CollapseProject keeps its hands off
+    // because the attribute is referenced more than once.
+    val t = col("tk")
     val grams = when(size(t) < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(t) - 2),
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-    docs.select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
   }
 
   /** Exact dedup: md5(normalized text) → canonical doc per group.
@@ -68,6 +75,9 @@ object Dedup {
     */
   private[operators] def minhashSignatures(docs: DataFrame): DataFrame =
     minhashSignaturesFrom(shingles(docs))
+
+  private[graft] def testShingles(docs: DataFrame): DataFrame = shingles(docs)
+  private[graft] def testSignatures(g: DataFrame): DataFrame = minhashSignaturesFrom(g)
 
   private def minhashSignaturesFrom(g: DataFrame): DataFrame =
     g.groupBy(col("doc_id"))

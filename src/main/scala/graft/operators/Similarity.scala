@@ -88,7 +88,10 @@ object Similarity {
     */
   def pairwiseDups(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
     val n = normed(spark, dir)
-    val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    // Spread the streamed side of the nested-loop: a single-file scan is one
+    // split, which would serialize the O(n²) scoring on one core.
+    val a = graft.Tables.spread(
+      n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")))
     val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
