@@ -1,0 +1,70 @@
+package graft
+
+import graft.cdc.Cdc
+import graft.operators.{Relational, Similarity}
+
+/** Plan-shape audit: the properties that decide cost at 100 TB — pushdown,
+  * broadcast choice, shuffle counts, native expressions — asserted on the
+  * physical plans, not just observed once in a REPL.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def exchanges(plan: String): Int =
+    "Exchange".r.findAllIn(plan).length
+
+  test("vector scoring runs on the native FloatDotProduct expression") {
+    val plan = planOf(Similarity.knnBruteforce(spark, sfDir)).toLowerCase
+    assert(plan.contains("floatdotproduct"), "hot path must use the codegen'd dot")
+  }
+
+  test("knn scoring joins broadcast the query side") {
+    val plan = planOf(Similarity.knnJoin(spark, sfDir))
+    assert(plan.contains("Broadcast"), "query set must be broadcast, never shuffled")
+  }
+
+  test("cdc_state_snapshot: one shuffle, map-side partial aggregation") {
+    val plan = planOf(Cdc.stateSnapshot(spark, sfDir))
+    assert(exchanges(plan) == 1, s"PK fold must shuffle exactly once:\n$plan")
+    assert(plan.contains("partial_"), "fold must partial-aggregate map-side")
+  }
+
+  test("cdc_latest_upsert: max_by agg, not a window sort over the stream") {
+    val plan = planOf(Cdc.latestUpsert(spark, sfDir))
+    assert(!plan.contains("Window"), "argmax must not window-sort the stream")
+    assert(exchanges(plan) == 1)
+    assert(plan.contains("partial_max_by") || plan.contains("partial_"))
+  }
+
+  test("cdc channel aggregates: single shuffle to 4-row results") {
+    Seq(Cdc.msgCount(spark, sfDir), Cdc.tailLag(spark, sfDir),
+      Cdc.replayDedup(spark, sfDir)).foreach { df =>
+      assert(exchanges(planOf(df)) <= 2, "channel agg must stay one shuffle (+distinct)")
+    }
+  }
+
+  test("q5_star_join: every dimension side is broadcast") {
+    val plan = planOf(Relational.q5StarJoin(spark, sfDir))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj")
+    assert(!plan.contains("SortMergeJoin"), "no dim join may shuffle the fact table")
+  }
+
+  test("q1_agg reads only the aggregated columns") {
+    val plan = planOf(Relational.q1Agg(spark, sfDir))
+    assert(plan.contains("PushedFilters"))
+    assert(!plan.contains("l_comment") && !plan.contains("l_orderkey"),
+      "scan must prune to the referenced columns")
+  }
+
+  test("SQL surface: vec_dot/vec_l2norm/vec_cosine resolve and agree with the Scala API") {
+    GraftFunctions.register(spark)
+    graft.Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_audit")
+    val r = spark.sql(
+      """SELECT round(vec_cosine(a.embedding, b.embedding), 4) AS c,
+        |       round(vec_dot(a.embedding, b.embedding)
+        |             / (vec_l2norm(a.embedding) * vec_l2norm(b.embedding)), 4) AS c2
+        |FROM emb_audit a JOIN emb_audit b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+}
