@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
   * SimHash. The exact-Jaccard token join is the small-SF oracle; MinHash-LSH
   * and SimHash are the 100 TB scale paths (candidate generation stays
   * ~linear via band/chunk bucketing instead of the quadratic gram join).
+  *
+  * Pipeline extension beyond the reference's own surface (SURVEY §2 24-28):
+  * the reference dedups only replayed message positions (mirrored in
+  * [[graft.cdc.Cdc.replayDedup]], reference: core/reader/collection_reader
+  * .go:107-144 skip-state handling); content-level dedup is what a
+  * training-data pipeline layers on top.
   */
 object Dedup {
   import graft.Tables._

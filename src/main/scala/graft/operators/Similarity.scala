@@ -7,8 +7,10 @@ import graft.functions.Vec
 
 /** Similarity search over the `embeddings` table — the Milvus query surface
   * (ANN top-k, range search) re-expressed Spark-first. Reference semantics:
-  * milvus-cdc replicates collections whose query API is scalar-filtered
-  * vector search; these operators ARE that query API on Spark.
+  * milvus-cdc replicates collections (Insert/Delete of vector-field rows,
+  * reference: core/writer/milvus_handler.go:156-178) whose downstream query
+  * API is scalar-filtered vector search; these operators ARE that query API
+  * on Spark, so a replicated corpus stays queryable without Milvus.
   *
   * Scale posture: the query set is always broadcast (≤ MBs); scoring is a
   * narrow map over the corpus (codegen'd HOFs, norms precomputed once per

@@ -98,6 +98,55 @@ object CdcStream {
         (col("last_delete_ts").isNull || col("last_upsert_ts") >= col("last_delete_ts")))
   }
 
+  /** End-to-end replication: the live fold streamed into a parquet
+    * change-log sink (append mode, one file set per microbatch), plus
+    * [[replicaView]] to read the downstream replica back. This is the
+    * reference's writer half (core/writer/channel_writer.go:118-139 hands
+    * folded changes to the downstream; here the downstream is a lake table).
+    *
+    * Scale posture: the sink appends only per-batch deltas (update-mode
+    * emissions), partitioned by channel; the replica view folds the log by
+    * PK at read time — the same last-write-wins fold the reference's target
+    * applies on upsert. Nothing rewrites history.
+    */
+  def replicate(spark: SparkSession, dir: String, sinkDir: String): Unit = {
+    import spark.implicits._
+    val evs = eventsStream(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000").as("tsMicros"), col("event_type"))
+      .as[Ev]
+    val folded = evs.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(foldPk)
+    val q = folded.toDF()
+      .withColumn("channel", pmod(col("user_id"), lit(4)))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").partitionBy("channel").parquet(sinkDir)
+      }
+      .option("checkpointLocation", s"$sinkDir-ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** The downstream replica: fold the change log last-write-wins per PK.
+    * (batch_id, lastUpsert) is monotone per key, so max_by over it recovers
+    * the newest emission — one shuffle on the PK.
+    */
+  def replicaView(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(sinkDir)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("lastUpsert"), col("lastDelete"), col("upserts"), col("deletes")),
+        col("batch_id")).as("m"))
+      .select(col("user_id"), pmod(col("user_id"), lit(4)).cast("long").as("channel"),
+        when(col("m.lastUpsert") =!= Sentinel, timestamp_micros(col("m.lastUpsert"))).as("last_upsert_ts"),
+        when(col("m.lastDelete") =!= Sentinel, timestamp_micros(col("m.lastDelete"))).as("last_delete_ts"),
+        col("m.upserts").as("upserts"), col("m.deletes").as("deletes"))
+      .filter(col("last_upsert_ts").isNotNull &&
+        (col("last_delete_ts").isNull || col("last_upsert_ts") >= col("last_delete_ts")))
+
   /** Streaming windowed counts per event type with a watermark — the
     * reference's per-channel flow metrics (msg counting between positions)
     * as a live daily-tumbling aggregate. Complete mode: bounded input, the

@@ -39,6 +39,18 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(out(2L)._2 == 1L)
   }
 
+  test("replicate: change-log sink folds back to the batch snapshot") {
+    val sink = java.nio.file.Files.createTempDirectory("graft-replica").toString + "/log"
+    CdcStream.replicate(spark, sfDir, sink)
+    val replica = CdcStream.replicaView(spark, sink).collect()
+    val batch = graft.cdc.Cdc.stateSnapshot(spark, sfDir).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("last_upsert_ts"),
+        r.getAs[Long]("upserts"), r.getAs[Long]("deletes"))).toSet
+    assert(key(replica) == key(batch), "downstream replica must equal the batch fold")
+  }
+
   test("stream_window_counts totals match the raw event count") {
     val rows = CdcStream.windowCounts(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("cnt")).sum
