@@ -143,13 +143,36 @@ object Cdc {
   /** Out-of-order arrival audit per channel: an event is out of order if
     * its ts is behind the running max of earlier (by event_id = MQ offset)
     * events in its channel.
+    *
+    * A single `Window.partitionBy(channel)` would cap parallelism at
+    * NumChannels forever — each task sorts 1/NumChannels of the 100 TB
+    * stream. Instead the prefix-max decomposes over event_id buckets:
+    * prefix_max(e) = max(max of all earlier buckets, within-bucket prefix).
+    * Bucket maxes are a tiny parallel agg; the cumulative-across-buckets
+    * window runs over #buckets rows; the per-row window partitions by
+    * (channel, bucket) — parallelism scales with data, not channel count.
+    * Same answer, no 4-way sort bottleneck.
     */
   def orderingAudit(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("channel")).orderBy(col("event_id"))
+    val bucketSize = 4096L
+    val ev = events(spark, dir)
+      .select(pmod(col("user_id"), lit(NumChannels)).as("channel"),
+        col("event_id"), col("ts"))
+      .withColumn("bucket", col("event_id") - pmod(col("event_id"), lit(bucketSize)))
+    val wBuckets = Window.partitionBy(col("channel")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    events(spark, dir)
-      .select(pmod(col("user_id"), lit(NumChannels)).as("channel"), col("event_id"), col("ts"))
-      .withColumn("prev_max", max(col("ts")).over(w))
+    val bucketMax = ev.groupBy(col("channel"), col("bucket"))
+      .agg(max(col("ts")).as("bmax"))
+      .withColumn("prev_buckets_max", max(col("bmax")).over(wBuckets))
+      .drop("bmax")
+    val wInBucket = Window.partitionBy(col("channel"), col("bucket"))
+      .orderBy(col("event_id")).rowsBetween(Window.unboundedPreceding, -1)
+    // Shuffle join on (channel, bucket) — AQE broadcasts it while the
+    // bucket table is small; at extreme bucket counts it stays a hash join
+    // co-partitioned with the per-row window's shuffle.
+    ev.join(bucketMax, Seq("channel", "bucket"))
+      .withColumn("prev_max",
+        greatest(col("prev_buckets_max"), max(col("ts")).over(wInBucket)))
       .groupBy(col("channel"))
       .agg(count(when(col("ts") < col("prev_max"), lit(1))).as("out_of_order"),
         count(lit(1)).as("total"))
