@@ -46,6 +46,8 @@ object SparkEntry {
     "stream_window_counts" -> (graft.streaming.CdcStream.windowCounts _),
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
+    "cdc_seek_asof" -> ((s, d) => graft.cdc.Cdc.seekAsof(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -345,5 +347,26 @@ object SparkEntry {
         |  md5(substr(text, CAST(i * 256 + 1 AS INT), 64)) AS frame_md5,
         |  CAST(length(substr(text, CAST(i * 256 + 1 AS INT), 64)) AS BIGINT) AS frame_bytes
         |FROM documents, unnest(generate_series(0, (length(text) - 1) // 256)) AS u(i)""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id, CAST(32 AS BIGINT) AS target_size,
+        |  array_to_string(list_transform(range(0, 32),
+        |    i -> substr(text, CAST(floor(i * length(text) / 32) AS INT) + 1, 1)), '') AS signature,
+        |  md5(array_to_string(list_transform(range(0, 32),
+        |    i -> substr(text, CAST(floor(i * length(text) / 32) AS INT) + 1, 1)), '')) AS sig_md5
+        |FROM documents""".stripMargin,
+    "cdc_seek_asof" ->
+      """WITH ddls AS (
+        |  SELECT event_id AS ddl_id, ts AS ddl_ts FROM events
+        |  WHERE event_type = 'signup' AND event_id % 500 = 0),
+        |q AS (SELECT ddl_id, ddl_ts, channel
+        |      FROM ddls, unnest(generate_series(0, 3)) AS c(channel)),
+        |e AS (SELECT CAST(user_id % 4 AS BIGINT) AS channel, ts, event_id FROM events),
+        |r AS (
+        |  SELECT q.ddl_id, q.channel, e.ts AS pos_ts, e.event_id AS pos_event_id,
+        |    row_number() OVER (PARTITION BY q.ddl_id, q.channel
+        |                       ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM q JOIN e ON e.channel = q.channel AND e.ts <= q.ddl_ts)
+        |SELECT ddl_id, channel, CAST(pos_ts AS TIMESTAMP) AS pos_ts, pos_event_id
+        |FROM r WHERE rn = 1""".stripMargin,
   )
 }

@@ -191,6 +191,39 @@ object Cdc {
         countDistinct(col("event_id")).as("dedup_cnt"))
   }
 
+  /** As-of join: for each (DDL marker, channel), the replay seek position —
+    * the last (ts, event_id) at-or-before the marker's timestamp. This is
+    * the reference's collection_start_position lookup
+    * (server/tool/collection_start_position, core/reader/etcd_op.go) as a
+    * set-oriented operator.
+    *
+    * Spark-first as-of: instead of an inequality join (quadratic), union the
+    * probe rows into the stream, sort once per channel, and carry the
+    * running max of struct(ts, event_id) — every probe row reads its answer
+    * from the running state. One shuffle + sort, linear in stream + probes.
+    */
+  def seekAsof(spark: SparkSession, dir: String, ddlStride: Long = 500L): DataFrame = {
+    val ev = events(spark, dir)
+    val ddls = ev.filter(col("event_type") === "signup" && col("event_id") % ddlStride === 0)
+      .select(col("event_id").as("ddl_id"), col("ts").as("ddl_ts"))
+    val channels = spark.range(NumChannels).select(col("id").as("channel"))
+    val probes = ddls.crossJoin(broadcast(channels))
+      .select(col("channel"), col("ddl_ts").as("ts"),
+        lit(null).cast("long").as("event_id"), lit(1).as("is_probe"), col("ddl_id"))
+    val stream = ev.select(pmod(col("user_id"), lit(NumChannels)).as("channel"),
+      col("ts"), col("event_id"), lit(0).as("is_probe"), lit(null).cast("long").as("ddl_id"))
+    // Order events before probes at equal ts so "at-or-before" includes ties.
+    val w = Window.partitionBy(col("channel"))
+      .orderBy(col("ts"), col("is_probe"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    stream.unionAll(probes)
+      .withColumn("pos",
+        max(when(col("is_probe") === 0, struct(col("ts"), col("event_id")))).over(w))
+      .filter(col("is_probe") === 1 && col("pos").isNotNull)
+      .select(col("ddl_id"), col("channel"),
+        col("pos.ts").as("pos_ts"), col("pos.event_id").as("pos_event_id"))
+  }
+
   /** Replication lag per channel from a checkpoint: pending message count
     * and time distance between the last ack'd TS and the head TS.
     */

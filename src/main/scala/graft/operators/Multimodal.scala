@@ -63,6 +63,25 @@ object Multimodal {
     }.toDF()
   }
 
+  /** "Resize" stub: sample `target` evenly spaced bytes from the payload —
+    * the fixed-output-size shape of an image resize (variable-size input →
+    * fixed-size signature), without a pixel decoder. Pure Column code; the
+    * sampled signature and its digest are fully determined by the bytes, so
+    * the oracle recomputes them from the text column.
+    */
+  def resize(spark: SparkSession, dir: String, target: Int = 32): DataFrame = {
+    val len = length(col("content"))
+    blobs(spark, dir)
+      .select(col("doc_id"), col("content"),
+        transform(sequence(lit(0), lit(target - 1)),
+          i => substring(col("content"), floor(i * len / target).cast("int") + 1, lit(1))
+            .cast("string")).as("samples"))
+      .select(col("doc_id"),
+        lit(target).cast("long").as("target_size"),
+        array_join(col("samples"), "").as("signature"))
+      .withColumn("sig_md5", md5(col("signature").cast("binary")))
+  }
+
   /** Deterministic frame sampling: every `stride` bytes, slice a
     * `frameLen`-byte "frame" and fingerprint it — the video-keyframe shape
     * (seek + bounded read) without a real container parser. Pure Column

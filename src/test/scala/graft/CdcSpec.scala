@@ -63,4 +63,24 @@ class CdcSpec extends SparkSpec {
   test("barrier join broadcasts the DDL side (no event-stream shuffle join)") {
     assert(planOf(Cdc.barrierTs(spark, sfDir)).contains("BroadcastNestedLoopJoin"))
   }
+
+  test("seekAsof positions are at-or-before each DDL ts, one per (ddl, channel)") {
+    val ddlTs = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup" && col("event_id") % 20 === 0)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[java.sql.Timestamp]("ts")).toMap
+    val rows = Cdc.seekAsof(spark, sfDir, ddlStride = 20L).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r.getAs[Long]("ddl_id"), r.getAs[Long]("channel"))).distinct.length
+      == rows.length)
+    rows.foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("pos_ts").after(ddlTs(r.getAs[Long]("ddl_id"))))
+    }
+  }
+
+  test("seekAsof avoids an inequality join: one sort pass, no nested loop") {
+    val plan = planOf(Cdc.seekAsof(spark, sfDir))
+    assert(!plan.contains("NestedLoop") || plan.contains("BroadcastNestedLoopJoin"),
+      "stream side must not nested-loop against probes")
+    assert(plan.contains("Window"), "carry-forward runs in one windowed pass")
+  }
 }
