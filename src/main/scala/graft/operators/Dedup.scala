@@ -69,7 +69,9 @@ object Dedup {
 
   /** MinHash signature length / LSH banding: K = B*R. R=2, B=16 targets the
     * τ≈0.5 similarity knee: P(candidate | j) = 1-(1-j²)¹⁶ → 0.99 at j=0.5,
-    * 0.15 at j=0.1.
+    * 0.15 at j=0.1. (MinHash: Broder, "On the resemblance and containment
+    * of documents", 1997; banding analysis as in Mining of Massive Datasets
+    * ch. 3.)
     */
   private val R = 2
   private val B = 16
@@ -128,9 +130,12 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
-  /** 64-bit SimHash per doc: per-gram xxhash64, signed bit votes summed in
-    * 64 partial-aggregating columns (map-side combine, no explode blowup),
-    * fingerprint = sign bits repacked.
+  /** 64-bit SimHash per doc (Charikar, "Similarity estimation techniques
+    * from rounding algorithms", STOC 2002): per-gram xxhash64, signed bit
+    * votes summed in 64 partial-aggregating columns (map-side combine, no
+    * explode blowup), fingerprint = sign bits repacked. Chunk-based pair
+    * search as in Manku et al., "Detecting near-duplicates for web
+    * crawling", WWW 2007.
     */
   private[operators] def simhashFingerprints(docs: DataFrame): DataFrame = {
     val h = xxhash64(col("gram"))

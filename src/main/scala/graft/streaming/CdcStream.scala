@@ -24,6 +24,10 @@ import org.apache.spark.sql.types._
   * Scale posture: state is hash-partitioned by PK across executors (RocksDB/
   * HDFS state store on a real cluster); each microbatch shuffles only its
   * delta on the PK key — the 100 TB history never re-materializes.
+  * Model follows "Structured Streaming: A Declarative API for Real-Time
+  * Applications in Apache Spark" (SIGMOD 2018): incremental view of a
+  * batch-equivalent query, which is exactly why the streaming answers can
+  * share the batch oracles.
   */
 object CdcStream {
 

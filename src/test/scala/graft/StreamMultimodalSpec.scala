@@ -62,6 +62,30 @@ class StreamMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("watermarked append-mode windows emit only after the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val counts = input.toDF().toDF("ts", "etype")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"etype").count()
+    val q = counts.writeStream.format("memory").queryName("spec_wm")
+      .outputMode("append").start()
+    def t(h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    input.addData((t(1), "a"), (new java.sql.Timestamp(t(1).getTime + 1800000L), "a"))
+    q.processAllAvailable()
+    assert(spark.table("spec_wm").isEmpty, "open window must not emit in append mode")
+    input.addData((t(3), "a")) // advances watermark past the 01:00 window end
+    q.processAllAvailable()
+    input.addData((t(4), "a")) // next batch flushes the closed window
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("spec_wm").collect()
+    assert(emitted.exists(_.getAs[Long]("count") == 2L),
+      "closed [01:00,02:00) window with 2 events must be emitted")
+  }
+
   test("mm_decode_meta: deterministic stub decode, one row per blob") {
     val rows = Multimodal.decodeMeta(spark, sfDir).collect()
     assert(rows.length == graft.Tables.documents(spark, sfDir).count())
