@@ -37,6 +37,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "vec_knn_bruteforce" -> ((s, d) => Similarity.knnBruteforce(s, d)),
+    "vec_filtered_knn" -> ((s, d) => Similarity.filteredKnn(s, d)),
     "vec_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "vec_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "vec_ivf_search" -> ((s, d) => Similarity.ivfSearch(s, d)),
@@ -277,6 +278,16 @@ object SparkEntry {
         |  round(list_sum(list_transform(list_zip(n.embedding, qe),
         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * qn), 4) AS cos
         |FROM n, q WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "vec_filtered_knn" ->
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(list_sum(list_transform(list_zip(n.embedding, qe),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * qn), 4) AS cos
+        |FROM n, q WHERE vec_id <> 0 AND label IN (1, 3, 5)
         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     "vec_knn_join" ->
       """WITH n AS (SELECT vec_id, embedding,

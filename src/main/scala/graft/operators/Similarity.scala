@@ -44,6 +44,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar-filtered ANN top-k — THE Milvus query shape (`search` with a
+    * filter expression): the scalar predicate prunes the corpus AT THE SCAN
+    * (parquet PushedFilters), so the expensive scoring map only ever sees
+    * surviving rows. At 100 TB the filter selectivity, not the index, is the
+    * first lever.
+    */
+  def filteredKnn(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), Vec.l2Norm(col("embedding")).as("qn"))
+    e.filter(col("vec_id") =!= 0 && col("label").isin(1, 3, 5))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Vec.l2Norm(col("embedding")).as("nrm"))
+      .join(broadcast(q))
+      .select(col("vec_id"), col("label"), cosTo(col("qe"), col("qn")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Top-k per query for a broadcast query set (vec_id < 8) against the
     * corpus (vec_id >= 8) — Milvus batched `search`. One narrow scoring map
     * (|corpus| × |queries| rows), then a per-query window rank; the shuffle

@@ -17,6 +17,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("floatdotproduct"), "hot path must use the codegen'd dot")
   }
 
+  test("vec_filtered_knn pushes the scalar filter to the parquet scan") {
+    val plan = planOf(Similarity.filteredKnn(spark, sfDir))
+    assert(plan.contains("PushedFilters") && plan.contains("In(label"),
+      "the Milvus-style scalar predicate must prune at the scan, before scoring")
+  }
+
   test("knn scoring joins broadcast the query side") {
     val plan = planOf(Similarity.knnJoin(spark, sfDir))
     assert(plan.contains("Broadcast"), "query set must be broadcast, never shuffled")
