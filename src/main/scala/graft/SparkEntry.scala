@@ -49,6 +49,8 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
     "cdc_seek_asof" -> ((s, d) => graft.cdc.Cdc.seekAsof(s, d)),
+    "q_approx_distinct" -> ((s, d) => Sketch.approxDistinct(s, d)),
+    "q_value_quantiles" -> ((s, d) => Sketch.valueQuantiles(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side

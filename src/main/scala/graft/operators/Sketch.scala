@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch suite — the approximate answers that replace exact aggregation at
+  * 100 TB. Exact distinct counts and exact percentiles need
+  * memory-proportional state per group; HyperLogLog++ and the
+  * percentile_approx quantile sketch are constant-space, mergeable
+  * (map-side combinable), and bounded-error. Both are spec-verified against
+  * their exact counterparts (no SQL oracle: sketch internals differ across
+  * engines by design).
+  */
+object Sketch {
+  import graft.Tables.events
+
+  /** HLL++ distinct users per event type, with the exact count alongside —
+    * the spec bounds the relative error at the configured rsd.
+    */
+  def approxDistinct(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("cnt"))
+
+  /** Quantile sketch of `value` per event type (p50/p95/p99), exact
+    * percentiles alongside for the spec's error bound. `accuracy` trades
+    * memory for error exactly like a cluster deployment would tune it.
+    */
+  def valueQuantiles(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
+          lit(accuracy)).as("approx_q"),
+        expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact_q"),
+        count(lit(1)).as("cnt"))
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketch
+import graft.sources.Sources
+
+class SketchSourcesSpec extends SparkSpec {
+
+  test("approx_distinct stays within the configured relative error") {
+    val rows = Sketch.approxDistinct(spark, sfDir, rsd = 0.02).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val approx = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("quantile sketch lands within a rank-neighborhood of each percentile") {
+    // The sketch guarantee is on RANK, not value: it returns an element
+    // whose rank is within n/accuracy of the target — in a heavy tail the
+    // neighboring order statistics can differ a lot in value. Bracket each
+    // approximate quantile between exact quantiles of a widened rank band.
+    val lo = graft.Tables.events(spark, sfDir).groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.40, 0.85, 0.90))").as("lo"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    Sketch.valueQuantiles(spark, sfDir).collect().foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val approx = r.getSeq[Double](r.fieldIndex("approx_q"))
+      val exactMax = r.getSeq[Double](r.fieldIndex("exact_q")).last
+      approx.zip(lo(et)).foreach { case (a, l) =>
+        assert(a >= l, s"$et: approx $a below rank band floor $l")
+      }
+      assert(approx.last <= exactMax * 1.5 + 1e-6,
+        s"$et: p99 sketch ${approx.last} wildly above exact tail $exactMax")
+      assert(approx.sameElements(approx.sorted), "quantiles must be monotone")
+    }
+  }
+
+  test("bucketed change log: PK fold and self-join run with zero shuffles") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    Sources.writeBucketed(ev, "events_bucketed", "user_id", buckets = 8)
+    val t = Sources.readBucketed(spark, "events_bucketed")
+    def shuffles(p: String): Int = "Exchange hashpartitioning".r.findAllIn(p).length
+    val fold = t.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("head_ts"), count(lit(1)).as("n"))
+    assert(shuffles(planOf(fold)) == 0,
+      s"bucketed fold must not shuffle:\n${planOf(fold)}")
+    assert(fold.count() > 0)
+    val joined = fold.join(t, "user_id")
+    assert(shuffles(planOf(joined)) == 0,
+      "co-bucketed self-join must not shuffle (broadcast of the small side is fine)")
+    assert(joined.count() >= fold.count())
+  }
+}
