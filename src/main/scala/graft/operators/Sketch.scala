@@ -28,13 +28,25 @@ object Sketch {
   /** Quantile sketch of `value` per event type (p50/p95/p99), exact
     * percentiles alongside for the spec's error bound. `accuracy` trades
     * memory for error exactly like a cluster deployment would tune it.
+    * Output is all-scalar columns (no arrays) so the driver's row-sorting
+    * compare can hash it.
     */
-  def valueQuantiles(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
-    events(spark, dir)
+  def valueQuantiles(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame = {
+    val qs = events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
         percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
-          lit(accuracy)).as("approx_q"),
-        expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact_q"),
+          lit(accuracy)).as("aq"),
+        expr("percentile(value, array(0.5, 0.95, 0.99))").as("eq"),
         count(lit(1)).as("cnt"))
+    qs.select(
+      col("event_type"),
+      round(col("aq").getItem(0), 4).as("approx_p50"),
+      round(col("aq").getItem(1), 4).as("approx_p95"),
+      round(col("aq").getItem(2), 4).as("approx_p99"),
+      round(col("eq").getItem(0), 4).as("exact_p50"),
+      round(col("eq").getItem(1), 4).as("exact_p95"),
+      round(col("eq").getItem(2), 4).as("exact_p99"),
+      col("cnt"))
+  }
 }
