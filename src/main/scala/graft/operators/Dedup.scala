@@ -18,9 +18,13 @@ object Dedup {
   import graft.Tables._
   import Text.{normText, toks}
 
-  /** Distinct token-3-gram shingles per doc: (doc_id, gram). Narrow map +
-    * explode; dedup of grams happens map-side via array_distinct (no
-    * shuffle).
+  /** Distinct HASHED token-3-gram shingles per doc: (doc_id, gh: long).
+    * Grams are xxhash64'd to 64 bits inside the transform, so the explode,
+    * the shuffle, and every downstream join/agg carry 8-byte longs instead
+    * of ~20-byte strings — at 100 TB that halves-or-better every exchange
+    * in this file. Set semantics are preserved up to 64-bit collisions
+    * (P ≈ n²/2⁶⁵ per doc-pair gram set — negligible at any corpus size
+    * whose pairs you could enumerate at all).
     */
   private def shingles(docs: DataFrame): DataFrame = {
     // Materialize the token array in its own projection FIRST: referencing
@@ -29,12 +33,19 @@ object Dedup {
     // measured 5× slower at sf0.1). CollapseProject keeps its hands off
     // because the attribute is referenced more than once.
     val t = col("tk")
-    val grams = when(size(t) < 3, array().cast("array<string>"))
+    val grams = when(size(t) < 3, array().cast("array<long>"))
       .otherwise(transform(sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+        i => xxhash64(concat_ws(" ",
+          element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+    // cache(): all three near-dup operators (and the signature + verify
+    // branches within one) hang off this same logical plan — Spark's
+    // CacheManager dedups by plan equality, so one in-memory copy of the
+    // (doc_id, gh) pairs serves every consumer instead of re-tokenizing
+    // the corpus per query.
     graft.Tables.spread(docs)
       .select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
+      .select(col("doc_id"), explode(array_distinct(grams)).as("gh"))
+      .cache()
   }
 
   /** Exact dedup: md5(normalized text) → canonical doc per group.
@@ -46,16 +57,16 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
 
-  /** Exact token-3-gram Jaccard ≥ τ pairs via gram self-join.
+  /** Exact token-3-gram Jaccard ≥ τ pairs via (hashed-)gram self-join.
     * This is the ORACLE for near-dup detection: quadratic in docs sharing a
     * gram, so it's the small-SF ground truth — [[minhashLsh]] is the scale
     * path with the same verify step.
     */
   def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.1): DataFrame = {
-    val g = shingles(documents(spark, dir)).cache()
+    val g = shingles(documents(spark, dir))
     val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = g.as("a").join(g.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("s"))
     shared
@@ -77,9 +88,11 @@ object Dedup {
   private val B = 16
   private val K = R * B
 
-  /** MinHash signatures: per doc, K min-hashes over its shingles — one
-    * groupBy with K partial-aggregating mins (map-side combine; no row
-    * blowup). Seeded family via xxhash64(seed, gram).
+  /** MinHash signatures: per doc, K min-hashes over its HASHED shingles —
+    * one groupBy with K partial-aggregating mins (map-side combine; no row
+    * blowup). Seeded family via xxhash64(seed, gh): hashing a fixed-width
+    * long is a handful of mixes, vs K full string hashes per gram in the
+    * naive formulation.
     */
   private[operators] def minhashSignatures(docs: DataFrame): DataFrame =
     minhashSignaturesFrom(shingles(docs))
@@ -89,8 +102,8 @@ object Dedup {
 
   private def minhashSignaturesFrom(g: DataFrame): DataFrame =
     g.groupBy(col("doc_id"))
-      .agg(min(xxhash64(lit(0), col("gram"))).as("h0"),
-        (1 until K).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i")): _*)
+      .agg(min(xxhash64(lit(0), col("gh"))).as("h0"),
+        (1 until K).map(i => min(xxhash64(lit(i), col("gh"))).as(s"h$i")): _*)
 
   /** MinHash+LSH near-dup pairs: sigs → band keys → bucket self-join →
     * candidate pairs → exact-Jaccard verification ≥ τ.
@@ -100,9 +113,9 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
     val docs = documents(spark, dir)
-    // Shingles feed both the signatures and the verification join — cache
-    // one copy instead of re-tokenizing the corpus twice.
-    val g = shingles(docs).cache()
+    // Shingles feed both the signatures and the verification join — one
+    // cached copy (see shingles()) serves both.
+    val g = shingles(docs)
     val sigs = minhashSignaturesFrom(g)
     val bandKey = (b: Int) =>
       xxhash64(lit(b) +: (0 until R).map(r => col(s"h${b * R + r}")): _*)
@@ -119,7 +132,7 @@ object Dedup {
     val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     cand
       .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(g.as("gb"), col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
+      .join(g.as("gb"), col("doc_b") === col("gb.doc_id") && col("ga.gh") === col("gb.gh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("s"))
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
@@ -131,21 +144,23 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc (Charikar, "Similarity estimation techniques
-    * from rounding algorithms", STOC 2002): per-gram xxhash64, signed bit
-    * votes summed in 64 partial-aggregating columns (map-side combine, no
-    * explode blowup), fingerprint = sign bits repacked. Chunk-based pair
+    * from rounding algorithms", STOC 2002): the hashed shingle IS the
+    * per-gram hash; per-bit ones-counts summed in 64 partial-aggregating
+    * columns (map-side combine, no explode blowup; unconditional
+    * shift-and-mask — no branch per bit), fingerprint bit i set iff
+    * ones_i > n/2 (⟺ the ±1 vote sum is positive). Chunk-based pair
     * search as in Manku et al., "Detecting near-duplicates for web
     * crawling", WWW 2007.
     */
   private[operators] def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val h = xxhash64(col("gram"))
-    val vote = (i: Int) =>
-      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    val h = col("gh")
+    val ones = (i: Int) =>
+      sum(shiftrightunsigned(h, i).bitwiseAND(1)).as(s"o$i")
     val votes = shingles(docs)
       .groupBy(col("doc_id"))
-      .agg(vote(0), (1 until 64).map(vote): _*)
+      .agg(ones(0), (1 until 64).map(ones) :+ count(lit(1)).as("n"): _*)
     val fp = (0 until 64)
-      .map(i => when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .map(i => when(col(s"o$i") * 2 > col("n"), shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     votes.select(col("doc_id"), fp.as("simhash"))
   }

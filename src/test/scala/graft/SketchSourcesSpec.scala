@@ -28,8 +28,9 @@ class SketchSourcesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
     Sketch.valueQuantiles(spark, sfDir).collect().foreach { r =>
       val et = r.getAs[String]("event_type")
-      val approx = r.getSeq[Double](r.fieldIndex("approx_q"))
-      val exactMax = r.getSeq[Double](r.fieldIndex("exact_q")).last
+      val approx = Seq("approx_p50", "approx_p95", "approx_p99")
+        .map(c => r.getAs[Double](c))
+      val exactMax = r.getAs[Double]("exact_p99")
       approx.zip(lo(et)).foreach { case (a, l) =>
         assert(a >= l, s"$et: approx $a below rank band floor $l")
       }
