@@ -51,6 +51,14 @@ object SparkEntry {
     "cdc_seek_asof" -> ((s, d) => graft.cdc.Cdc.seekAsof(s, d)),
     "q_approx_distinct" -> ((s, d) => Sketch.approxDistinct(s, d)),
     "q_value_quantiles" -> ((s, d) => Sketch.valueQuantiles(s, d)),
+    "cdc_tso_convert" -> (graft.cdc.Cdc.tsoConvert _),
+    "cdc_apply_changes" -> (graft.cdc.Cdc.applyChanges _),
+    "stream_append_windows" -> (graft.streaming.CdcStream.appendWindows _),
+    "stream_replay_dedup" -> (graft.streaming.CdcStream.replayDedup _),
+    "text_ngram_freq" -> ((s, d) => Text.ngramFreq(s, d)),
+    "vec_label_centroids" -> (Similarity.labelCentroids _),
+    "vec_dim_stats" -> (Similarity.dimStats _),
+    "q_hll_merge" -> ((s, d) => Sketch.hllMerge(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -381,5 +389,64 @@ object SparkEntry {
         |  FROM q JOIN e ON e.channel = q.channel AND e.ts <= q.ddl_ts)
         |SELECT ddl_id, channel, CAST(pos_ts AS TIMESTAMP) AS pos_ts, pos_event_id
         |FROM r WHERE rn = 1""".stripMargin,
+    "cdc_tso_convert" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    (epoch_ms(CAST(ts AS TIMESTAMP)) << 18) + (event_id % 262144) AS tso
+        |  FROM events)
+        |SELECT event_id, tso,
+        |  tso >> 18 AS phys_ms,
+        |  tso & 262143 AS logical,
+        |  epoch_ms(tso >> 18) AS phys_ts
+        |FROM t""".stripMargin,
+    "cdc_apply_changes" ->
+      """SELECT * FROM (
+        |  SELECT user_id, CAST(user_id % 4 AS BIGINT) AS channel,
+        |    CAST(max(ts) FILTER (WHERE event_type <> 'error') AS TIMESTAMP) AS last_upsert_ts,
+        |    CAST(max(ts) FILTER (WHERE event_type = 'error') AS TIMESTAMP) AS last_delete_ts,
+        |    count(*) FILTER (WHERE event_type <> 'error') AS upserts,
+        |    count(*) FILTER (WHERE event_type = 'error') AS deletes
+        |  FROM events GROUP BY user_id) t
+        |WHERE last_upsert_ts IS NOT NULL
+        |  AND (last_delete_ts IS NULL OR last_upsert_ts >= last_delete_ts)""".stripMargin,
+    "stream_append_windows" ->
+      """WITH w AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        |    CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS window_end,
+        |    event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |m AS (SELECT CAST(max(ts) AS TIMESTAMP) - INTERVAL 1 HOUR AS wm FROM events)
+        |SELECT window_start, window_end, event_type, cnt
+        |FROM w, m WHERE window_end <= wm""".stripMargin,
+    "stream_replay_dedup" ->
+      """SELECT CAST(user_id % 4 AS BIGINT) AS channel,
+        |  count(DISTINCT event_id) AS dedup_cnt
+        |FROM events GROUP BY 1""".stripMargin,
+    "text_ngram_freq" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3)
+        |SELECT gram, count(*) AS freq FROM grams GROUP BY gram
+        |ORDER BY freq DESC, gram ASC LIMIT 20""".stripMargin,
+    "vec_label_centroids" ->
+      """SELECT label, count(*) AS n_vectors,
+        |  round(avg(sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
+        |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS c1,
+        |  round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS c2,
+        |  round(avg(CAST(embedding[3] AS DOUBLE)), 4) AS c3,
+        |  round(avg(CAST(embedding[4] AS DOUBLE)), 4) AS c4
+        |FROM embeddings GROUP BY label""".stripMargin,
+    "vec_dim_stats" ->
+      """SELECT CAST(i AS BIGINT) AS dim, count(*) AS n,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean,
+        |  round(stddev(CAST(embedding[i] AS DOUBLE)), 4) AS sd,
+        |  round(min(CAST(embedding[i] AS DOUBLE)), 4) AS mn,
+        |  round(max(CAST(embedding[i] AS DOUBLE)), 4) AS mx
+        |FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        |GROUP BY 1""".stripMargin,
   )
 }

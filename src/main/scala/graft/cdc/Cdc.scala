@@ -224,6 +224,65 @@ object Cdc {
         col("pos.ts").as("pos_ts"), col("pos.event_id").as("pos_event_id"))
   }
 
+  /** Milvus TSO (hybrid logical clock) compose/parse as columnar bit ops:
+    * tso = physical_ms << 18 | logical (18-bit logical counter), exactly
+    * the tsoutil.ComposeTS the reference stamps positions with
+    * (server/cdc_impl.go:781, core/reader/etcd_op.go:814). Logical part
+    * here: event_id mod 2^18 (a per-ms counter surrogate). Pure
+    * narrow projection — no shuffle at any scale; parse-back columns
+    * prove the roundtrip.
+    */
+  def tsoConvert(spark: SparkSession, dir: String): DataFrame = {
+    val logicalBits = 18
+    events(spark, dir)
+      .select(col("event_id"), col("ts"),
+        unix_millis(col("ts")).as("physical_ms"),
+        pmod(col("event_id"), lit(1L << logicalBits)).as("logical"))
+      .select(col("event_id"),
+        (shiftleft(col("physical_ms"), logicalBits) + col("logical")).as("tso"))
+      .select(col("event_id"), col("tso"),
+        shiftrightunsigned(col("tso"), logicalBits).as("phys_ms"),
+        col("tso").bitwiseAND(lit((1L << logicalBits) - 1)).as("logical"),
+        timestamp_millis(shiftrightunsigned(col("tso"), logicalBits)).as("phys_ts"))
+  }
+
+  /** Apply a replayed change tail onto a materialized snapshot — the
+    * writer half of replication (core/writer/channel_writer.go:118-139
+    * hands upserts/deletes to the downstream, which merges into its
+    * state). Snapshot = fold of events ≤ checkpoint; delta = fold of the
+    * tail; merge = full outer join taking greatest(ts) and summed counts
+    * per side. Result ≡ folding the whole stream ([[stateSnapshot]]'s
+    * oracle checks exactly that idempotence).
+    *
+    * Scale: both folds are single PK-shuffles with map-side partials; the
+    * merge join is co-partitioned on the same key (no extra exchange
+    * beyond the two folds' outputs). The 100 TB history folds once into
+    * the snapshot; every later apply touches only the delta.
+    */
+  def applyChanges(spark: SparkSession, dir: String): DataFrame = {
+    val cp = to_timestamp(lit(Checkpoint))
+    def fold(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(
+          max(when(!isDelete, col("ts"))).as("u"),
+          max(when(isDelete, col("ts"))).as("d"),
+          count(when(!isDelete, lit(1))).as("uc"),
+          count(when(isDelete, lit(1))).as("dc"))
+    val ev = events(spark, dir)
+    val snapshot = fold(ev.filter(col("ts") <= cp))
+    val delta = fold(ev.filter(col("ts") > cp))
+    snapshot.as("s").join(delta.as("t"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        greatest(col("s.u"), col("t.u")).as("last_upsert_ts"),
+        greatest(col("s.d"), col("t.d")).as("last_delete_ts"),
+        (coalesce(col("s.uc"), lit(0L)) + coalesce(col("t.uc"), lit(0L))).as("upserts"),
+        (coalesce(col("s.dc"), lit(0L)) + coalesce(col("t.dc"), lit(0L))).as("deletes"))
+      .withColumn("channel", pmod(col("user_id"), lit(NumChannels)))
+      .filter(col("last_upsert_ts").isNotNull &&
+        (col("last_delete_ts").isNull || col("last_upsert_ts") >= col("last_delete_ts")))
+      .select("user_id", "channel", "last_upsert_ts", "last_delete_ts", "upserts", "deletes")
+  }
+
   /** Replication lag per channel from a checkpoint: pending message count
     * and time distance between the last ack'd TS and the head TS.
     */

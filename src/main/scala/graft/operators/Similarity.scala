@@ -120,6 +120,42 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** Per-label centroid audit: count, mean norm, and the first four centroid
+    * components per label — the grouped statistics behind partition-level
+    * vector quality checks (and the seed step of a per-label IVF build).
+    * One shuffle on the label with map-side partial avgs.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("label"), col("embedding"), Vec.l2Norm(col("embedding")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg(col("nrm")), 4).as("avg_norm"),
+        round(avg(element_at(col("embedding"), 1).cast("double")), 4).as("c1"),
+        round(avg(element_at(col("embedding"), 2).cast("double")), 4).as("c2"),
+        round(avg(element_at(col("embedding"), 3).cast("double")), 4).as("c3"),
+        round(avg(element_at(col("embedding"), 4).cast("double")), 4).as("c4"))
+
+  /** Per-dimension feature statistics across the corpus (mean/sd/min/max per
+    * embedding coordinate) — what a quantizer or normalizer is fit on.
+    *
+    * Scale: posexplode multiplies rows by dim (64×), but the groupBy on the
+    * dimension id partial-aggregates map-side, so the shuffle carries only
+    * #partitions × dim tiny agg buffers — at 100 TB this is scan-bound.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("x")), 4).as("mean"),
+        round(stddev_samp(col("x")), 4).as("sd"),
+        round(min(col("x")), 4).as("mn"),
+        round(max(col("x")), 4).as("mx"))
+
   /** IVF-style ANN: `nlist` centroids (deterministic seed rows), each corpus
     * vector assigned to its nearest centroid once (the "index build", one
     * N×nlist scoring map), then the query probes only the `nprobe` nearest

@@ -49,4 +49,21 @@ object Sketch {
       round(col("eq").getItem(2), 4).as("exact_p99"),
       col("cnt"))
   }
+
+  /** Two-level mergeable distinct-count: per-channel DataSketches HLL
+    * sketches, union-merged to one corpus-wide estimate — THE 100 TB
+    * aggregation pattern (leaf sketches computed where the data lives, a
+    * constant-size merge at the top; re-aggregation without re-scanning).
+    * Exact distinct alongside for the spec's error bound.
+    */
+  def hllMerge(spark: SparkSession, dir: String, lgConfigK: Int = 12): DataFrame = {
+    val ev = events(spark, dir)
+    val perChannel = ev
+      .groupBy(pmod(col("user_id"), lit(4)).as("channel"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
+    val merged = perChannel.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"),
+      count(lit(1)).as("n_channels"))
+    merged.crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
+  }
 }

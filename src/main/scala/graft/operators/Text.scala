@@ -98,4 +98,26 @@ object Text {
         col("doc_id"),
         md5(normText(col("text")).cast("binary")).as("fp"),
         length(normText(col("text"))).cast("long").as("n_norm_chars"))
+
+  /** Corpus vocabulary stats: top-N word 3-grams by total frequency (NOT
+    * per-doc distinct — frequency counts every occurrence). The standard
+    * contamination / boilerplate probe a training-data pipeline runs over
+    * the corpus.
+    *
+    * Scale: explode → one hash-shuffle on the gram with map-side partial
+    * counts; the top-N is TakeOrderedAndProject (per-partition partial
+    * top-k), never a global sort. Deterministic tie-break on the gram.
+    */
+  def ngramFreq(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
+    val t = col("tk")
+    val grams = when(size(t) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+    graft.Tables.spread(documents(spark, dir))
+      .select(toks(col("text")).as("tk"))
+      .select(explode(grams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("gram").asc)
+      .limit(topN)
+  }
 }

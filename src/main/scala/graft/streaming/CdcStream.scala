@@ -60,11 +60,26 @@ object CdcStream {
 
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the materialized table (bounded input → the stream drains and stops).
+    *
+    * `awaitNoDataBatch`: append-mode emission happens in the no-data
+    * microbatch that runs AFTER the batch that advanced the watermark —
+    * `processAllAvailable` only guarantees the data batches, so wait until
+    * a zero-input batch has committed (or the sink row count goes stable)
+    * before stopping.
     */
-  private def drain(df: DataFrame, mode: String): DataFrame = {
+  private def drain(df: DataFrame, mode: String,
+      awaitNoDataBatch: Boolean = false): DataFrame = {
     val name = s"graft_stream_${nameSeq.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     q.processAllAvailable()
+    if (awaitNoDataBatch) {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (!q.recentProgress.exists(p => p.numInputRows == 0 && p.batchId > 0) &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+      }
+    }
     q.stop()
     df.sparkSession.table(name)
   }
@@ -166,5 +181,53 @@ object CdcStream {
     drain(counts, "complete")
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("event_type"), col("cnt"))
+  }
+
+  /** Append-mode windowed counts: a window row is emitted exactly once,
+    * when the watermark (max event time − 1 h) passes its end — the
+    * finalized-emission contract a downstream consumer (e.g. a Kafka sink
+    * feeding the reference's target) relies on. Emitted set ≡ windows with
+    * `window_end <= max(ts) − 1 h`, which is what the SQL oracle states.
+    *
+    * Scale: append mode keeps only open windows in the state store (closed
+    * ones are evicted on emission), so state is bounded by the watermark
+    * delay × event rate, not by history — the complete-mode variant
+    * ([[windowCounts]]) re-emits everything and exists for drain-compare.
+    */
+  def appendWindows(spark: SparkSession, dir: String): DataFrame = {
+    val withTs = eventsStream(spark, dir)
+      .select(timestamp_micros(expr("ts DIV 1000")).as("ts"), col("event_type"))
+      .withWatermark("ts", "1 hour")
+    val counts = withTs
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    drain(counts, "append", awaitNoDataBatch = true)
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("cnt"))
+  }
+
+  /** Streaming replay dedup: the reader's skip-state over a re-delivered
+    * tail (reference: core/reader/collection_reader.go:107-144) as a live
+    * `dropDuplicates` — the replayed stream (full ∪ tail) is deduped on
+    * (event_id, ts) with watermark-evicted state, then the drained sink is
+    * counted per channel (answer ≡ batch [[graft.cdc.Cdc.replayDedup]]'s
+    * dedup side).
+    *
+    * Scale: dedup state is hash-partitioned on the key and evicted once
+    * the watermark passes (a replay can only re-deliver recent positions),
+    * so state size tracks the replay horizon, not the stream history.
+    */
+  def replayDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cp = "2024-01-20"
+    def evs = eventsStream(spark, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        pmod(col("user_id"), lit(4)).cast("long").as("channel"))
+    val replayed = evs.unionAll(evs.filter(col("ts") > to_timestamp(lit(cp))))
+    val deduped = replayed
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+    drain(deduped, "append")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("dedup_cnt"))
   }
 }

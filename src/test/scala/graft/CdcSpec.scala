@@ -83,4 +83,28 @@ class CdcSpec extends SparkSpec {
       "stream side must not nested-loop against probes")
     assert(plan.contains("Window"), "carry-forward runs in one windowed pass")
   }
+
+  test("tsoConvert roundtrips: physical ms and logical counter parse back") {
+    import org.apache.spark.sql.functions._
+    val bad = Cdc.tsoConvert(spark, sfDir)
+      .join(graft.Tables.events(spark, sfDir), "event_id")
+      .filter(col("phys_ms") =!= unix_millis(col("ts")) ||
+        col("logical") =!= pmod(col("event_id"), lit(262144L)) ||
+        col("logical") >= lit(1L << 18))
+      .count()
+    assert(bad == 0L, "TSO parse must invert compose for every event")
+    // Pure projection: composing/parsing TSOs must never shuffle.
+    assert(!planOf(Cdc.tsoConvert(spark, sfDir)).contains("Exchange"))
+  }
+
+  test("applyChanges (snapshot + delta merge) equals the full-stream fold") {
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("last_upsert_ts"),
+        r.getAs[java.sql.Timestamp]("last_delete_ts"),
+        r.getAs[Long]("upserts"), r.getAs[Long]("deletes"))).toSet
+    val applied = key(Cdc.applyChanges(spark, sfDir).collect())
+    val full = key(Cdc.stateSnapshot(spark, sfDir).collect())
+    assert(applied == full, "apply-onto-snapshot must be replay-idempotent")
+  }
 }

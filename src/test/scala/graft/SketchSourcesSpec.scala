@@ -18,6 +18,15 @@ class SketchSourcesSpec extends SparkSpec {
     }
   }
 
+  test("hll merge: unioned per-channel sketches estimate the global distinct") {
+    val r = Sketch.hllMerge(spark, sfDir).collect().head
+    val exact = r.getAs[Long]("exact_users").toDouble
+    val approx = r.getAs[Long]("approx_users").toDouble
+    assert(r.getAs[Long]("n_channels") == 4L)
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"merged estimate $approx vs exact $exact")
+  }
+
   test("quantile sketch lands within a rank-neighborhood of each percentile") {
     // The sketch guarantee is on RANK, not value: it returns an element
     // whose rank is within n/accuracy of the target — in a heavy tail the

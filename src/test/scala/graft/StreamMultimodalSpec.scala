@@ -107,4 +107,31 @@ class StreamMultimodalSpec extends SparkSpec {
     // frame plumbing is pure Column code — no shuffle
     assert(!planOf(Multimodal.frameSample(spark, sfDir)).contains("Exchange"))
   }
+
+  test("stream_append_windows emits exactly the watermark-finalized windows") {
+    import org.apache.spark.sql.Row
+    val complete = CdcStream.windowCounts(spark, sfDir).collect()
+    val appended = CdcStream.appendWindows(spark, sfDir).collect()
+    val maxTs = graft.Tables.events(spark, sfDir)
+      .agg(max(col("ts"))).collect().head.getTimestamp(0)
+    // Spark's watermark tracker works in epoch millis (floor of the micros).
+    val wmMs = maxTs.getTime - 3600 * 1000L
+    def key(r: Row) = (r.getAs[java.sql.Timestamp]("window_start"),
+      r.getAs[String]("event_type"), r.getAs[Long]("cnt"))
+    val expected = complete
+      .filter(_.getAs[java.sql.Timestamp]("window_end").getTime <= wmMs)
+      .map(key).toSet
+    assert(appended.map(key).toSet == expected,
+      s"append set (${appended.length}) must equal finalized subset (${expected.size})")
+    assert(expected.nonEmpty && appended.length < complete.length,
+      "the still-open tail window must NOT have been emitted")
+  }
+
+  test("stream_replay_dedup recovers exact per-channel counts from a replayed stream") {
+    val live = CdcStream.replayDedup(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("channel") -> r.getAs[Long]("dedup_cnt")).toMap
+    val batch = graft.cdc.Cdc.replayDedup(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("channel") -> r.getAs[Long]("dedup_cnt")).toMap
+    assert(live == batch, "streaming dedup must equal the batch dedup counts")
+  }
 }
