@@ -70,17 +70,29 @@ object CdcStream {
   private def drain(df: DataFrame, mode: String,
       awaitNoDataBatch: Boolean = false): DataFrame = {
     val name = s"graft_stream_${nameSeq.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    q.processAllAvailable()
-    if (awaitNoDataBatch) {
-      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      while (!q.recentProgress.exists(p => p.numInputRows == 0 && p.batchId > 0) &&
-          System.nanoTime() < deadline) {
-        Thread.sleep(100)
-        q.processAllAvailable()
+    // State-store partition count is pinned per query at start time from
+    // spark.sql.shuffle.partitions. Size it to the STREAM's key cardinality
+    // (channels/PKs), not the batch engine's CPU count: every state
+    // partition costs a store instance + commit per microbatch, which
+    // dominates small-delta batches. On a cluster this knob scales with
+    // executors × keys, independently of the batch setting.
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      q.processAllAvailable()
+      if (awaitNoDataBatch) {
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while (!q.recentProgress.exists(p => p.numInputRows == 0 && p.batchId > 0) &&
+            System.nanoTime() < deadline) {
+          Thread.sleep(25)
+          q.processAllAvailable()
+        }
       }
-    }
-    q.stop()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
   }
 

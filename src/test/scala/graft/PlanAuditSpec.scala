@@ -62,6 +62,34 @@ class PlanAuditSpec extends SparkSpec {
       "scan must prune to the referenced columns")
   }
 
+  test("cdc_apply_changes: merge join reuses the folds' PK partitioning") {
+    val plan = planOf(Cdc.applyChanges(spark, sfDir))
+    assert(exchanges(plan) <= 3,
+      s"snapshot+delta folds shuffle once each; the merge must not re-shuffle:\n$plan")
+    assert(plan.contains("partial_"), "folds must partial-aggregate map-side")
+  }
+
+  test("vector stats aggregate in one shuffle with map-side partials") {
+    Seq(Similarity.labelCentroids(spark, sfDir), Similarity.dimStats(spark, sfDir))
+      .foreach { df =>
+        val plan = planOf(df)
+        assert(exchanges(plan) == 1, s"grouped stats must shuffle exactly once:\n$plan")
+        assert(plan.contains("partial_"))
+      }
+  }
+
+  test("text_ngram_freq top-N uses partial per-partition top-k, not a global sort") {
+    val plan = planOf(graft.operators.Text.ngramFreq(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must be TakeOrderedAndProject:\n$plan")
+  }
+
+  test("q_hll_merge builds sketches with partial (map-side) aggregation") {
+    val plan = planOf(graft.operators.Sketch.hllMerge(spark, sfDir))
+    assert(plan.contains("partial_hll_sketch_agg"),
+      s"leaf sketches must be computed map-side before the merge:\n$plan")
+  }
+
   test("SQL surface: vec_dot/vec_l2norm/vec_cosine resolve and agree with the Scala API") {
     GraftFunctions.register(spark)
     graft.Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_audit")
