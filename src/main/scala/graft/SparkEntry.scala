@@ -59,6 +59,11 @@ object SparkEntry {
     "vec_label_centroids" -> (Similarity.labelCentroids _),
     "vec_dim_stats" -> (Similarity.dimStats _),
     "q_hll_merge" -> ((s, d) => Sketch.hllMerge(s, d)),
+    "q_json_field" -> (Relational.qJsonField _),
+    "vec_grouped_knn" -> ((s, d) => Similarity.groupedKnn(s, d)),
+    "vec_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
+    "cdc_ttl_expiry" -> ((s, d) => graft.cdc.Cdc.ttlExpiry(s, d)),
+    "cdc_segment_stats" -> (graft.cdc.Cdc.segmentStats _),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -448,5 +453,65 @@ object SparkEntry {
         |  round(max(CAST(embedding[i] AS DOUBLE)), 4) AS mx
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
         |GROUP BY 1""".stripMargin,
+    "q_json_field" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round(avg(k), 4) AS avg_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+        |WHERE k >= 50 GROUP BY event_type""".stripMargin,
+    "vec_grouped_knn" ->
+      """WITH n AS (SELECT vec_id, label, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+        |s AS (SELECT label, vec_id,
+        |    round(list_sum(list_transform(list_zip(n.embedding, qe),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * qn), 4) AS cos
+        |  FROM n, q WHERE vec_id <> 0),
+        |g AS (SELECT label, vec_id AS best_vec_id, cos,
+        |    row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
+        |SELECT label, best_vec_id, cos FROM g WHERE rn = 1
+        |ORDER BY cos DESC, label ASC LIMIT 5""".stripMargin,
+    "vec_hybrid_rrf" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |sa AS (SELECT n.vec_id,
+        |    round(list_sum(list_transform(list_zip(n.embedding, q.qe),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * q.qn), 4) AS cos
+        |  FROM n, (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = 0) q
+        |  WHERE n.vec_id >= 2 ORDER BY cos DESC, vec_id ASC LIMIT 100),
+        |sb AS (SELECT n.vec_id,
+        |    round(list_sum(list_transform(list_zip(n.embedding, q.qe),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * q.qn), 4) AS cos
+        |  FROM n, (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = 1) q
+        |  WHERE n.vec_id >= 2 ORDER BY cos DESC, vec_id ASC LIMIT 100),
+        |ra AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank_a FROM sa),
+        |rb AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank_b FROM sb)
+        |SELECT ra.vec_id, rank_a, rank_b,
+        |  round(1.0 / (60 + rank_a) + 1.0 / (60 + rank_b), 4) AS rrf
+        |FROM ra JOIN rb ON ra.vec_id = rb.vec_id
+        |ORDER BY rrf DESC, ra.vec_id ASC LIMIT 10""".stripMargin,
+    "cdc_ttl_expiry" ->
+      """WITH snap AS (
+        |  SELECT user_id, CAST(user_id % 4 AS BIGINT) AS channel,
+        |    CAST(max(ts) FILTER (WHERE event_type <> 'error') AS TIMESTAMP) AS last_upsert_ts,
+        |    CAST(max(ts) FILTER (WHERE event_type = 'error') AS TIMESTAMP) AS last_delete_ts,
+        |    count(*) FILTER (WHERE event_type <> 'error') AS upserts
+        |  FROM events GROUP BY user_id),
+        |h AS (SELECT CAST(max(ts) AS TIMESTAMP) AS head_ts FROM events)
+        |SELECT user_id, channel, last_upsert_ts,
+        |  last_upsert_ts + INTERVAL 6 HOUR AS expire_ts, upserts
+        |FROM snap, h
+        |WHERE last_upsert_ts IS NOT NULL
+        |  AND (last_delete_ts IS NULL OR last_upsert_ts >= last_delete_ts)
+        |  AND last_upsert_ts + INTERVAL 6 HOUR <= head_ts""".stripMargin,
+    "cdc_segment_stats" ->
+      """SELECT CAST(user_id % 4 AS BIGINT) AS channel,
+        |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS seg_day,
+        |  count(*) AS msgs, count(DISTINCT user_id) AS pks,
+        |  CAST(sum(length(props)) AS BIGINT) AS payload_bytes,
+        |  CAST(min(ts) AS TIMESTAMP) AS first_ts, CAST(max(ts) AS TIMESTAMP) AS last_ts
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

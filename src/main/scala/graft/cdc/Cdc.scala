@@ -283,6 +283,36 @@ object Cdc {
       .select("user_id", "channel", "last_upsert_ts", "last_delete_ts", "upserts", "deletes")
   }
 
+  /** TTL expiry sweep — Milvus collection TTL: an alive row whose last
+    * upsert is older than the TTL horizon (head watermark − ttl) is due
+    * for compaction-time deletion. Evaluated against the stream head (max
+    * ts), not wall clock, so the answer is deterministic. Reuses the
+    * [[stateSnapshot]] fold (one PK shuffle) + a broadcast 1-row head.
+    */
+  def ttlExpiry(spark: SparkSession, dir: String, ttlHours: Int = 6): DataFrame = {
+    val head = events(spark, dir).agg(max(col("ts")).as("head_ts"))
+    stateSnapshot(spark, dir)
+      .join(broadcast(head))
+      .withColumn("expire_ts", col("last_upsert_ts") + expr(s"INTERVAL $ttlHours HOURS"))
+      .filter(col("expire_ts") <= col("head_ts"))
+      .select(col("user_id"), col("channel"), col("last_upsert_ts"),
+        col("expire_ts"), col("upserts"))
+  }
+
+  /** Segment-sizing audit — events per (channel, day): message count,
+    * distinct PKs, payload bytes. The growth metric a Milvus operator
+    * watches to plan segment sealing/compaction; one shuffle on the
+    * composite key with map-side partials.
+    */
+  def segmentStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(pmod(col("user_id"), lit(NumChannels)).as("channel"),
+        date_trunc("day", col("ts")).as("seg_day"))
+      .agg(count(lit(1)).as("msgs"),
+        countDistinct(col("user_id")).as("pks"),
+        sum(length(col("props")).cast("long")).as("payload_bytes"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+
   /** Replication lag per channel from a checkpoint: pending message count
     * and time distance between the last ack'd TS and the head TS.
     */

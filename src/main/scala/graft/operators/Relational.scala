@@ -137,4 +137,20 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(20)
+
+  /** JSON-field query — Milvus dynamic/JSON fields (`props["k"] >= v`
+    * filter expressions). Path extraction + predicate + grouped agg; the
+    * JSON parse is a narrow codegen'd map, the agg one shuffle.
+    * At 100 TB the lever is extracting ONCE into a typed column before any
+    * reuse (done here), or materializing hot paths at ingest.
+    */
+  def qJsonField(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") >= 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
 }

@@ -120,6 +120,65 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** Milvus grouping search (`search` with `group_by_field`): top-k where
+    * each GROUP contributes its single best hit — the best match per label,
+    * then the k best labels. Per-group argmax via max_by (map-side partial
+    * fold, one shuffle on the label), then a k-row TakeOrdered — the
+    * corpus is never globally sorted.
+    */
+  def groupedKnn(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val n = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Vec.l2Norm(col("embedding")).as("nrm"))
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    n.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("label"), col("vec_id"), cosTo(col("qe"), col("qn")).as("cos"))
+      .groupBy(col("label"))
+      // Argmax on (cos, -vec_id): lowest vec_id breaks exact-cos ties
+      // deterministically; max_by folds map-side (no per-group sort).
+      .agg(max_by(
+        struct(col("cos").as("cos"), (-col("vec_id")).as("negid")),
+        struct(col("cos").as("cos"), (-col("vec_id")).as("negid"))).as("m"))
+      .select(col("label"), (-col("m.negid")).as("best_vec_id"), col("m.cos").as("cos"))
+      .orderBy(col("cos").desc, col("label").asc)
+      .limit(k)
+  }
+
+  /** Milvus hybrid search (multi-vector `hybrid_search` + RRFRanker): two
+    * query vectors each produce a bounded top-`cand` candidate list; the
+    * lists fuse by reciprocal rank: rrf = Σ 1/(60 + rank_i), inner-joined
+    * (Milvus fuses the returned lists — a vector absent from either list
+    * is out).
+    *
+    * Scale: each list is TakeOrderedAndProject over the broadcast-scored
+    * corpus (per-partition partial top-k, NO global sort); the rank window
+    * then runs over ≤ `cand` rows — corpus size never reaches a window.
+    */
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = 10,
+      cand: Int = 100, rrfK: Int = 60): DataFrame = {
+    val n = normed(spark, dir)
+    def ranked(qid: Int, rankName: String): DataFrame = {
+      val q = n.filter(col("vec_id") === qid)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
+      n.filter(col("vec_id") >= 2)
+        .join(broadcast(q))
+        .select(col("vec_id"), cosTo(col("qe"), col("qn")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(cand)
+        .withColumn(rankName, row_number().over(w).cast("long"))
+        .select(col("vec_id"), col(rankName))
+    }
+    ranked(0, "rank_a").join(ranked(1, "rank_b"), "vec_id")
+      .select(col("vec_id"), col("rank_a"), col("rank_b"),
+        round(lit(1.0) / (lit(rrfK) + col("rank_a")) +
+          lit(1.0) / (lit(rrfK) + col("rank_b")), 4).as("rrf"))
+      .orderBy(col("rrf").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Per-label centroid audit: count, mean norm, and the first four centroid
     * components per label — the grouped statistics behind partition-level
     * vector quality checks (and the seed step of a per-label IVF build).

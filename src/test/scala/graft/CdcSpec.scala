@@ -97,6 +97,36 @@ class CdcSpec extends SparkSpec {
     assert(!planOf(Cdc.tsoConvert(spark, sfDir)).contains("Exchange"))
   }
 
+  test("ttlExpiry: expired set is the alive snapshot aged past head - ttl") {
+    import org.apache.spark.sql.functions._
+    val head = graft.Tables.events(spark, sfDir)
+      .agg(max(col("ts"))).collect().head.getTimestamp(0)
+    val alive = Cdc.stateSnapshot(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[java.sql.Timestamp]("last_upsert_ts")).toMap
+    val expired = Cdc.ttlExpiry(spark, sfDir).collect()
+    assert(expired.nonEmpty)
+    expired.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      assert(alive.contains(uid), "only alive PKs can expire")
+      val lu = r.getAs[java.sql.Timestamp]("last_upsert_ts")
+      assert(lu == alive(uid))
+      assert(r.getAs[java.sql.Timestamp]("expire_ts").getTime
+        == lu.getTime + 6L * 3600 * 1000)
+      assert(!r.getAs[java.sql.Timestamp]("expire_ts").after(head))
+    }
+  }
+
+  test("segmentStats: per-(channel, day) partition of the whole stream") {
+    val rows = Cdc.segmentStats(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("msgs")).sum
+    assert(total == graft.Tables.events(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pks") <= r.getAs[Long]("msgs"))
+      assert(r.getAs[Long]("payload_bytes") > 0)
+    }
+  }
+
   test("applyChanges (snapshot + delta merge) equals the full-stream fold") {
     def key(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getAs[Long]("user_id"),

@@ -64,4 +64,29 @@ class SimilaritySpec extends SparkSpec {
     info(s"ivf recall@10 = $recall (nprobe=4/nlist=16, unclustered data)")
     assert(recall >= 0.3, s"recall $recall below floor")
   }
+
+  test("vec_grouped_knn: one best hit per label, scored exactly") {
+    val rows = Similarity.groupedKnn(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val labels = rows.map(_.getAs[Number]("label").longValue)
+    assert(labels.distinct.length == labels.length, "each group appears once")
+    val bfAll = Similarity.rangeSearch(spark, sfDir, tau = -1.1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    rows.foreach(r =>
+      assert(bfAll(r.getAs[Long]("best_vec_id")) == r.getAs[Double]("cos"),
+        "group winner must carry the exact brute-force score"))
+  }
+
+  test("vec_hybrid_rrf: fusion scores decompose into the two ranks") {
+    val rows = Similarity.hybridRrf(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val (ra, rb) = (r.getAs[Long]("rank_a"), r.getAs[Long]("rank_b"))
+      assert(ra >= 1 && rb >= 1)
+      val expect = math.rint((1.0 / (60 + ra) + 1.0 / (60 + rb)) * 1e4) / 1e4
+      assert(r.getAs[Double]("rrf") == expect)
+    }
+    // Bounded candidate lists: ranks can never exceed the list size.
+    assert(rows.forall(r => r.getAs[Long]("rank_a") <= 100 && r.getAs[Long]("rank_b") <= 100))
+  }
 }
