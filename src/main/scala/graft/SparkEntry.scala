@@ -506,6 +506,34 @@ object SparkEntry {
         |WHERE last_upsert_ts IS NOT NULL
         |  AND (last_delete_ts IS NULL OR last_upsert_ts >= last_delete_ts)
         |  AND last_upsert_ts + INTERVAL 6 HOUR <= head_ts""".stripMargin,
+    // IVF is oracle-checkable because the "index build" is deterministic:
+    // centroids are the first nlist vectors, assignment is argmax cosine.
+    "vec_ivf_search" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT n.vec_id, cid AS cluster,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(n.embedding, ce),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * cn) DESC,
+        |        cid ASC) AS rn
+        |    FROM n, cents) t WHERE rn = 1),
+        |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+        |probed AS (
+        |  SELECT cid AS cluster FROM cents, q
+        |  ORDER BY list_sum(list_transform(list_zip(ce, qe),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (cn * qn) DESC, cid ASC
+        |  LIMIT 4)
+        |SELECT n.vec_id, a.cluster,
+        |  round(list_sum(list_transform(list_zip(n.embedding, qe),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * qn), 4) AS cos
+        |FROM n JOIN assign a ON n.vec_id = a.vec_id
+        |JOIN probed p ON a.cluster = p.cluster, q
+        |WHERE n.vec_id <> 0
+        |ORDER BY cos DESC, n.vec_id ASC LIMIT 10""".stripMargin,
     "cdc_segment_stats" ->
       """SELECT CAST(user_id % 4 AS BIGINT) AS channel,
         |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS seg_day,

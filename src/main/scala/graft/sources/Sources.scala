@@ -29,4 +29,20 @@ object Sources {
   /** Read a bucketed table back (bucketing metadata intact). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Write `df` hive-partitioned by `cols` (directory per value combo).
+    * The lake layout for a CDC change log: partition by (channel, day) and
+    * every checkpoint-tail read ([[graft.cdc.Cdc.msgCount]]-shaped) prunes
+    * to the partitions past the checkpoint instead of scanning history —
+    * at 100 TB, partition pruning is the difference between reading a day
+    * and reading a year.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.partitionBy(cols: _*).mode("overwrite").parquet(path)
+
+  /** Read a partitioned layout back; partition-column filters become
+    * PartitionFilters (no data files opened for pruned partitions).
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -49,6 +49,25 @@ class SketchSourcesSpec extends SparkSpec {
     }
   }
 
+  test("partitioned change log: channel/day filters prune at the partition level") {
+    val base = java.nio.file.Files.createTempDirectory("graft-part").toString + "/log"
+    val ev = graft.Tables.events(spark, sfDir)
+      .withColumn("channel", pmod(col("user_id"), lit(4)).cast("long"))
+      .withColumn("day", to_date(col("ts")))
+    Sources.writePartitioned(ev, base, "channel", "day")
+    val t = Sources.readPartitioned(spark, base)
+    val tail = t.filter(col("channel") === 2 && col("day") >= lit("2024-01-20"))
+    val plan = planOf(tail)
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("isnotnull(channel") || plan.contains("(channel")),
+      s"channel/day predicates must prune partitions, not filter rows:\n$plan")
+    // Pruned read must agree with the unpartitioned filter.
+    val expected = graft.Tables.events(spark, sfDir)
+      .filter(pmod(col("user_id"), lit(4)) === 2 && to_date(col("ts")) >= lit("2024-01-20"))
+      .count()
+    assert(tail.count() == expected)
+  }
+
   test("bucketed change log: PK fold and self-join run with zero shuffles") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_type"))
