@@ -43,6 +43,53 @@ class CdcPropertySpec extends SparkSpec {
     }
   }
 
+  test("apply-changes algebra: snapshot⊕delta == full fold at EVERY split point") {
+    import spark.implicits._
+    (1 to 10).foreach { i =>
+      val evs = genEvents.pureApply(params, Seed(3000L + i))
+      val df = evs.map(e => (e.userId, e.ts, e.isDelete)).toDF("user_id", "ts", "is_delete")
+      def fold(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy(col("user_id"))
+          .agg(max(when(!col("is_delete"), col("ts"))).as("u"),
+            max(when(col("is_delete"), col("ts"))).as("d"),
+            count(when(!col("is_delete"), lit(1))).as("uc"),
+            count(when(col("is_delete"), lit(1))).as("dc"))
+      val full = fold(df).collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), r.getLong(3), r.getLong(4)))
+        .toMap
+      // Try several checkpoints including degenerate ones (all / nothing in snapshot).
+      Seq(-1L, 0L, 10L, 20L, 21L).foreach { cp =>
+        val merged = fold(df.filter(col("ts") <= cp)).as("s")
+          .join(fold(df.filter(col("ts") > cp)).as("t"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            greatest(col("s.u"), col("t.u")).as("u"),
+            greatest(col("s.d"), col("t.d")).as("d"),
+            (coalesce(col("s.uc"), lit(0L)) + coalesce(col("t.uc"), lit(0L))).as("uc"),
+            (coalesce(col("s.dc"), lit(0L)) + coalesce(col("t.dc"), lit(0L))).as("dc"))
+          .collect()
+          .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), r.getLong(3), r.getLong(4)))
+          .toMap
+        assert(merged == full, s"seed ${3000L + i} checkpoint $cp")
+      }
+    }
+  }
+
+  test("TSO compose/parse roundtrips for arbitrary physical/logical pairs") {
+    import spark.implicits._
+    val gen = Gen.listOfN(200, for {
+      phys <- Gen.choose(0L, 4102444800000L) // up to year 2100 in ms
+      logical <- Gen.choose(0L, (1L << 18) - 1)
+    } yield (phys, logical))
+    val pairs = gen.pureApply(params, Seed(77L))
+    val bad = pairs.toDF("phys", "logical")
+      .select(col("phys"), col("logical"),
+        (shiftleft(col("phys"), 18) + col("logical")).as("tso"))
+      .filter(shiftrightunsigned(col("tso"), 18) =!= col("phys") ||
+        col("tso").bitwiseAND(lit((1L << 18) - 1)) =!= col("logical"))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("as-of carry-forward: running struct-max == brute-force last-at-or-before") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
