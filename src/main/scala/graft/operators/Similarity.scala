@@ -224,31 +224,45 @@ object Similarity {
     */
   def ivfSearch(spark: SparkSession, dir: String, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(nlist >= 2 && nprobe >= 1)
     val n = normed(spark, dir)
-    val cents = n.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-    // Index build: nearest centroid per vector.
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = n.join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-        Vec.cosinePrenorm(col("embedding"), col("ce"), col("nrm"), col("cn")).as("ccos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cluster"))
-    // Probe: the query's nprobe nearest centroids.
-    val q = n.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("nrm").as("qn"))
-    val probed = cents.join(broadcast(q))
-      .select(col("cid"), Vec.cosinePrenorm(col("ce"), col("qe"), col("cn"), col("qn")).as("qcos"))
-      .orderBy(col("qcos").desc, col("cid").asc)
-      .limit(nprobe)
-      .select(col("cid").as("cluster"))
-    // Search only the probed clusters.
-    assigned.join(broadcast(probed), "cluster")
-      .filter(col("vec_id") =!= 0)
-      .join(broadcast(q))
-      .select(col("vec_id"), col("cluster"), cosTo(col("qe"), col("qn")).as("cos"))
+    // The centroid set is the index's metadata (nlist × dim floats) —
+    // collected once, exactly like any ANN index build materializes its
+    // centroids. Everything per-corpus-row below is a literal expression
+    // over it: the build is a NARROW MAP, no shuffle at any corpus size.
+    val cents: Array[(Long, Array[Float], Double)] = n.filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    // Assignment = argmax over centroid literals via greatest() of
+    // (cos, -cid) structs — ties break to the smallest cid, matching the
+    // oracle's ORDER BY cos DESC, cid ASC.
+    val scored = cents.map { case (cid, ce, cn) =>
+      struct(
+        (Vec.dot(col("embedding"), typedlit(ce)) / (col("nrm") * lit(cn))).as("s"),
+        lit(-cid).as("negid"))
+    }
+    val assigned = n.withColumn("cluster", -greatest(scored.toSeq: _*).getField("negid"))
+    // Probe selection is driver-side math on the collected centroids —
+    // the same sequential double fold the scoring expression (and the
+    // oracle's list_sum) uses, so the ordering is bit-identical.
+    val (qe, qn) = cents.find(_._1 == 0L)
+      .map(c => (c._2, c._3))
+      .getOrElse(throw new IllegalStateException("query vector must exist"))
+    def ddot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val probed: Seq[Long] = cents
+      .map { case (cid, ce, cn) => (cid, ddot(ce, qe) / (cn * qn)) }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(nprobe).map(_._1).toSeq
+    // Search only the probed clusters: filter + narrow scoring map + partial
+    // top-k. Zero exchanges end to end.
+    assigned
+      .filter(col("cluster").isin(probed: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cluster"),
+        round(Vec.cosinePrenorm(col("embedding"), typedlit(qe), col("nrm"), lit(qn)), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -62,6 +62,13 @@ class PlanAuditSpec extends SparkSpec {
       "scan must prune to the referenced columns")
   }
 
+  test("vec_ivf_search: build + probe + search is shuffle-free (narrow map + partial top-k)") {
+    val plan = planOf(Similarity.ivfSearch(spark, sfDir))
+    assert(exchanges(plan) == 0,
+      s"IVF assignment must be a literal-centroid narrow map, not a join/window:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("cdc_apply_changes: merge join reuses the folds' PK partitioning") {
     val plan = planOf(Cdc.applyChanges(spark, sfDir))
     assert(exchanges(plan) <= 3,
