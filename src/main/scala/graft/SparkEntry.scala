@@ -60,6 +60,9 @@ object SparkEntry {
     "vec_dim_stats" -> (Similarity.dimStats _),
     "q_hll_merge" -> ((s, d) => Sketch.hllMerge(s, d)),
     "q_json_field" -> (Relational.qJsonField _),
+    "vec_l2_knn" -> ((s, d) => Similarity.l2Knn(s, d)),
+    "vec_ip_knn" -> ((s, d) => Similarity.ipKnn(s, d)),
+    "vec_binary_knn" -> ((s, d) => Similarity.binaryKnn(s, d)),
     "vec_grouped_knn" -> ((s, d) => Similarity.groupedKnn(s, d)),
     "vec_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "cdc_ttl_expiry" -> ((s, d) => graft.cdc.Cdc.ttlExpiry(s, d)),
@@ -506,6 +509,37 @@ object SparkEntry {
         |WHERE last_upsert_ts IS NOT NULL
         |  AND (last_delete_ts IS NULL OR last_upsert_ts >= last_delete_ts)
         |  AND last_upsert_ts + INTERVAL 6 HOUR <= head_ts""".stripMargin,
+    "vec_l2_knn" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(sqrt(greatest(0.0, n.nrm * n.nrm + qn * qn -
+        |    2.0 * list_sum(list_transform(list_zip(n.embedding, qe),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))), 4) AS l2_dist
+        |FROM n, q WHERE vec_id <> 0
+        |ORDER BY l2_dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "vec_ip_knn" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_sum(list_transform(list_zip(embedding, qe),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS ip
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY ip DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "vec_binary_knn" ->
+      """WITH w AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(0, 32),
+        |      i -> CASE WHEN embedding[i + 1] > 0 THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS w0,
+        |    CAST(list_sum(list_transform(range(0, 32),
+        |      i -> CASE WHEN embedding[i + 33] > 0 THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS w1
+        |  FROM embeddings),
+        |q AS (SELECT w0 AS qw0, w1 AS qw1 FROM w WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1)) AS BIGINT) AS hamming
+        |FROM w, q WHERE vec_id <> 0
+        |ORDER BY hamming ASC, vec_id ASC LIMIT 10""".stripMargin,
     // IVF is oracle-checkable because the "index build" is deterministic:
     // centroids are the first nlist vectors, assignment is argmax cosine.
     "vec_ivf_search" ->

@@ -120,6 +120,63 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** L2 (euclidean) top-k — Milvus `metric_type=L2`. dist² = |a|² + |b|² −
+    * 2⟨a,b⟩ from the precomputed norms: one dot per pair, same narrow
+    * scoring map as cosine. Smallest distance first.
+    */
+  def l2Knn(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val n = normed(spark, dir)
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    n.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        round(sqrt(greatest(lit(0.0),
+          col("nrm") * col("nrm") + col("qn") * col("qn") -
+            lit(2.0) * Vec.dot(col("embedding"), col("qe")))), 4).as("l2_dist"))
+      .orderBy(col("l2_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Inner-product top-k — Milvus `metric_type=IP` (un-normalized dot). */
+  def ipKnn(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val n = normed(spark, dir)
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    n.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        round(Vec.dot(col("embedding"), col("qe")), 4).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Binary-vector Hamming top-k — Milvus BINARY_VECTOR + `HAMMING`.
+    * Vectors binarize by sign bit (the standard float→binary quantization),
+    * packed into two 32-bit words so the packing sum never overflows a
+    * signed long; distance = Σ bit_count(xor(word_i)). The scoring map is
+    * pure integer ops — at 100 TB this is the cheapest metric there is.
+    */
+  def binaryKnn(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    // Pack bit i of word w as 2^i when embedding[w*32 + i + 1] > 0.
+    def word(e: Column, w: Int): Column =
+      (0 until 32).map { i =>
+        when(element_at(e, w * 32 + i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val withWords = embeddings(spark, dir)
+      .select(col("vec_id"), word(col("embedding"), 0).as("w0"),
+        word(col("embedding"), 1).as("w1"))
+    val q = withWords.filter(col("vec_id") === 0)
+      .select(col("w0").as("qw0"), col("w1").as("qw1"))
+    withWords.filter(col("vec_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+          bit_count(col("w1").bitwiseXOR(col("qw1")))).cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Milvus grouping search (`search` with `group_by_field`): top-k where
     * each GROUP contributes its single best hit — the best match per label,
     * then the k best labels. Per-group argmax via max_by (map-side partial

@@ -77,6 +77,29 @@ class SimilaritySpec extends SparkSpec {
         "group winner must carry the exact brute-force score"))
   }
 
+  test("metric suite: L2, IP, and Hamming tops are well-formed and consistent") {
+    val l2 = Similarity.l2Knn(spark, sfDir).collect()
+    assert(l2.length == 10)
+    val dists = l2.map(_.getAs[Double]("l2_dist"))
+    assert(dists.sameElements(dists.sorted), "L2 ascending")
+    assert(dists.forall(_ >= 0.0))
+    val ip = Similarity.ipKnn(spark, sfDir).collect()
+    val ips = ip.map(_.getAs[Double]("ip"))
+    assert(ips.sameElements(ips.sorted.reverse), "IP descending")
+    val bin = Similarity.binaryKnn(spark, sfDir).collect()
+    bin.foreach { r =>
+      val h = r.getAs[Long]("hamming")
+      assert(h >= 0 && h <= 64, s"hamming $h out of range for 64-bit codes")
+    }
+    // Hamming approximates angle: the binary top-10 should overlap the
+    // cosine top-10 far better than chance (10 of ~500).
+    val cosTop = Similarity.knnBruteforce(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val overlap = bin.count(r => cosTop.contains(r.getAs[Long]("vec_id")))
+    info(s"binary/cosine top-10 overlap = $overlap")
+    assert(overlap >= 1)
+  }
+
   test("vec_hybrid_rrf: fusion scores decompose into the two ranks") {
     val rows = Similarity.hybridRrf(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 10)
