@@ -46,6 +46,7 @@ object SparkEntry {
     "stream_cdc_state" -> (graft.streaming.CdcStream.cdcState _),
     "stream_window_counts" -> (graft.streaming.CdcStream.windowCounts _),
     "mm_decode_meta" -> (Multimodal.decodeMeta _),
+    "mm_feature_batch" -> ((s, d) => Multimodal.featureBatch(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resize(s, d)),
     "cdc_seek_asof" -> ((s, d) => graft.cdc.Cdc.seekAsof(s, d)),
@@ -370,6 +371,21 @@ object SparkEntry {
         |  CAST(64 + (CAST(length(text) AS BIGINT) * 40503) % 704 AS BIGINT) AS height,
         |  CAST((length(text) - 1) // 256 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    "mm_feature_batch" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+        |  FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
+        |e AS (SELECT doc_id, round(entropy(c), 4) AS entropy FROM ch GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(range(1, CAST(length(text) AS INT) + 1),
+        |    i -> ord(substr(text, i, 1)))) AS BIGINT) AS byte_sum,
+        |  CAST(len(list_distinct(list_transform(range(1, CAST(length(text) AS INT) + 1),
+        |    i -> substr(text, i, 1)))) AS BIGINT) AS distinct_bytes,
+        |  round(CAST(list_sum(list_transform(range(1, CAST(length(text) AS INT) + 1),
+        |    i -> ord(substr(text, i, 1)))) AS DOUBLE) / length(text), 4) AS mean_byte,
+        |  e.entropy
+        |FROM documents d JOIN e ON d.doc_id = e.doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  CAST(i * 256 AS BIGINT) AS byte_offset,

@@ -63,6 +63,53 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Batched feature record (see [[featureBatch]]). */
+  case class Features(doc_id: Long, n_bytes: Long, byte_sum: Long,
+      distinct_bytes: Long, mean_byte: Double, entropy: Double)
+
+  /** Batched feature extraction — the `mapInPandas` shape in Scala: the
+    * partition iterator is consumed in fixed-size BATCHES, scratch buffers
+    * (here the 256-bin histogram) are allocated once per batch and reused
+    * across its rows — exactly how an Arrow-batch UDF amortizes model /
+    * buffer setup over rows. Features are deterministic byte statistics
+    * (a real image/audio featurizer slots into the same loop), so the
+    * oracle recomputes them from the text payload.
+    */
+  def featureBatch(spark: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val in = blobs(spark, dir)
+      .select(col("doc_id"), col("content"))
+      .as[(Long, Array[Byte])]
+    in.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val hist = new Array[Long](256) // per-batch scratch, reused per row
+        batch.map { case (id, bytes) =>
+          java.util.Arrays.fill(hist, 0L)
+          var i = 0; var sum = 0L
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xFF
+            hist(b) += 1; sum += b; i += 1
+          }
+          val n = bytes.length.toLong
+          var distinct = 0L; var ent = 0.0
+          var v = 0
+          while (v < 256) {
+            if (hist(v) > 0) {
+              distinct += 1
+              val p = hist(v).toDouble / n
+              ent -= p * (math.log(p) / math.log(2.0))
+            }
+            v += 1
+          }
+          // Half-UP rounding (like SQL round()), not rint's half-even:
+          // integer byte sums divided by n land exactly on .xxx5 often.
+          def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+          Features(id, n, sum, distinct, r4(sum.toDouble / n), r4(ent))
+        }
+      }
+    }.toDF()
+  }
+
   /** "Resize" stub: sample `target` evenly spaced bytes from the payload —
     * the fixed-output-size shape of an image resize (variable-size input →
     * fixed-size signature), without a pixel decoder. Pure Column code; the

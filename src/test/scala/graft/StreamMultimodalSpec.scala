@@ -108,6 +108,20 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(!planOf(Multimodal.frameSample(spark, sfDir)).contains("Exchange"))
   }
 
+  test("mm_feature_batch: features are batch-size invariant and in range") {
+    import org.apache.spark.sql.Row
+    def key(r: Row) = (r.getAs[Long]("doc_id"), r.getAs[Long]("byte_sum"),
+      r.getAs[Double]("mean_byte"), r.getAs[Double]("entropy"))
+    val b1 = Multimodal.featureBatch(spark, sfDir, batchSize = 1).collect().map(key).toSet
+    val b64 = Multimodal.featureBatch(spark, sfDir, batchSize = 64).collect().map(key).toSet
+    assert(b1 == b64, "batching is an execution detail, never a semantic one")
+    Multimodal.featureBatch(spark, sfDir).collect().foreach { r =>
+      val e = r.getAs[Double]("entropy")
+      assert(e >= 0.0 && e <= 8.0, s"entropy $e out of [0,8] for bytes")
+      assert(r.getAs[Long]("distinct_bytes") <= 256)
+    }
+  }
+
   test("stream_append_windows emits exactly the watermark-finalized windows") {
     import org.apache.spark.sql.Row
     val complete = CdcStream.windowCounts(spark, sfDir).collect()
