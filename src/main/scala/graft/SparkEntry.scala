@@ -68,6 +68,8 @@ object SparkEntry {
     "vec_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "cdc_ttl_expiry" -> ((s, d) => graft.cdc.Cdc.ttlExpiry(s, d)),
     "cdc_segment_stats" -> (graft.cdc.Cdc.segmentStats _),
+    "q_sessionize" -> ((s, d) => Relational.qSessionize(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -584,6 +586,57 @@ object SparkEntry {
         |JOIN probed p ON a.cluster = p.cluster, q
         |WHERE n.vec_id <> 0
         |ORDER BY cos DESC, n.vec_id ASC LIMIT 10""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sid AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM s),
+        |per AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    min(us) AS s_start, max(us) AS s_end
+        |  FROM sid GROUP BY user_id, session_id)
+        |SELECT user_id, max(session_id) AS n_sessions,
+        |  max(n_events) AS max_session_events,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  max(s_end - s_start) AS max_session_us
+        |FROM per GROUP BY user_id""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+        |  d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS is_canonical
+        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""".stripMargin,
     "cdc_segment_stats" ->
       """SELECT CAST(user_id % 4 AS BIGINT) AS channel,
         |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS seg_day,

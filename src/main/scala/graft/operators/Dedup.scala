@@ -143,6 +143,47 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Near-dup CLUSTERS: connected components over the verified ≥ τ pair
+    * graph, labels = min doc_id per component — the final stage of a dedup
+    * pipeline (pairs → clusters → one canonical doc kept per cluster).
+    *
+    * Iterative min-label propagation: label(v) ← min(label(v), min of
+    * neighbors' labels) until fixpoint, bounded by the component diameter
+    * (near-dup clusters are shallow). Each pass is one join + one grouped
+    * min on the PAIR graph — corpus-sized data never enters the loop; at
+    * 10⁹+ edges the same loop takes the large-star/small-star refinement
+    * (Kiveris et al., "Connected Components in MapReduce", SoCC 2014).
+    * `localCheckpoint` cuts lineage growth per iteration.
+    */
+  def clusters(spark: SparkSession, dir: String, tau: Double = 0.5,
+      maxIter: Int = 20): DataFrame = {
+    val docs = documents(spark, dir).select(col("doc_id"))
+    val pairs = ngramJaccard(spark, dir, tau).select(col("doc_a"), col("doc_b"))
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbr = sym
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_label")), "dst")
+        .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_min"))
+      val next = labels.join(nbr, labels("doc_id") === nbr("src"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      done = next
+        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
   /** 64-bit SimHash per doc (Charikar, "Similarity estimation techniques
     * from rounding algorithms", STOC 2002): the hashed shingle IS the
     * per-gram hash; per-bit ones-counts summed in 64 partial-aggregating

@@ -138,6 +138,33 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(20)
 
+  /** Event sessionization: split each user's event sequence at gaps >
+    * `gapMinutes`, then aggregate per user — the canonical event-stream
+    * feature op. Session ids = running count of gap-starts (lag + cumsum
+    * windows, both keyed on user_id so parallelism scales with users, the
+    * natural 100 TB partitioning; no global sort).
+    */
+  def qSessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sessions = events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+    sessions.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("total_events"),
+        max(col("s_end") - col("s_start")).as("max_session_us"))
+  }
+
   /** JSON-field query — Milvus dynamic/JSON fields (`props["k"] >= v`
     * filter expressions). Path extraction + predicate + grouped agg; the
     * JSON parse is a narrow codegen'd map, the agg one shuffle.

@@ -54,6 +54,31 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("dedup_clusters: pair endpoints co-cluster, canonical is the min id") {
+    val labels = Dedup.clusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // Every doc labeled; labels idempotent (a cluster id labels itself).
+    assert(labels.size == graft.Tables.documents(spark, sfDir).count())
+    labels.values.foreach(c => assert(labels(c) == c, s"cluster id $c must be canonical"))
+    // Every >= tau pair must land in one cluster, with the min endpoint <= both.
+    Dedup.ngramJaccard(spark, sfDir, tau = 0.5).collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+      assert(labels(a) <= math.min(a, b))
+    }
+  }
+
+  test("q_sessionize: per-user totals partition the stream") {
+    val rows = graft.operators.Relational.qSessionize(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("total_events")).sum
+    assert(total == graft.Tables.events(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") >= 1L)
+      assert(r.getAs[Long]("max_session_events") <= r.getAs[Long]("total_events"))
+      assert(r.getAs[Long]("max_session_us") >= 0L)
+    }
+  }
+
   test("simhash pairs are a subset of true near-dups (precision)") {
     val exact = Dedup.ngramJaccard(spark, sfDir, tau = 0.1).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
