@@ -162,7 +162,12 @@ object Dedup {
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // The loop runs ONLY over pair-involved vertices — isolated docs can
+    // never change label and join back as singletons at the end. One Spark
+    // job per iteration: the convergence count is the action that
+    // materializes the (lazy) checkpoint of the next labelling.
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint()
     var iter = 0
     var done = false
@@ -173,15 +178,18 @@ object Dedup {
       val next = labels.join(nbr, labels("doc_id") === nbr("src"), "left")
         .select(labels("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint()
-      done = next
-        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).isEmpty
-      labels = next
+            .as("cluster_id"),
+          (col("cluster_id") > col("nbr_min")).as("lowered"))
+        .localCheckpoint(eager = false)
+      // count() (not isEmpty) — it visits every partition, so the lazy
+      // checkpoint fully materializes and lineage stays one hop deep.
+      done = next.filter(col("lowered")).count() == 0L
+      labels = next.drop("lowered")
       iter += 1
     }
-    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    docs.join(labels.withColumnRenamed("cluster_id", "pair_cluster"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("pair_cluster"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
   /** 64-bit SimHash per doc (Charikar, "Similarity estimation techniques
