@@ -62,7 +62,16 @@ object Dedup {
     * gram, so it's the small-SF ground truth — [[minhashLsh]] is the scale
     * path with the same verify step.
     */
-  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.1): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.1): DataFrame =
+    pairJaccard(spark, dir).filter(col("jaccard") >= tau)
+
+  /** Unthresholded pair Jaccard over all gram-sharing doc pairs, cached:
+    * every consumer (the τ=0.1 oracle query, the τ=0.5 cluster edges, any
+    * threshold sweep) filters the SAME materialized pair stats instead of
+    * re-running the self-join — at scale, pair stats are computed once and
+    * probed many times.
+    */
+  private def pairJaccard(spark: SparkSession, dir: String): DataFrame = {
     val g = shingles(documents(spark, dir))
     val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = g.as("a").join(g.as("b"),
@@ -75,7 +84,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("s").cast("double") /
           (col("ca.n") + col("cb.n") - col("s")).cast("double"), 4).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+      .cache()
   }
 
   /** MinHash signature length / LSH banding: K = B*R. R=2, B=16 targets the
