@@ -70,6 +70,8 @@ object SparkEntry {
     "cdc_segment_stats" -> (graft.cdc.Cdc.segmentStats _),
     "q_sessionize" -> ((s, d) => Relational.qSessionize(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "q_pivot" -> (Relational.qPivot _),
+    "q_rollup" -> (Relational.qRollup _),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -474,6 +476,21 @@ object SparkEntry {
         |  round(max(CAST(embedding[i] AS DOUBLE)), 4) AS mx
         |FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
         |GROUP BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE user_id % 4 = 0) AS ch0,
+        |  count(*) FILTER (WHERE user_id % 4 = 1) AS ch1,
+        |  count(*) FILTER (WHERE user_id % 4 = 2) AS ch2,
+        |  count(*) FILTER (WHERE user_id % 4 = 3) AS ch3,
+        |  round(sum(value), 4) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(channel, -1) AS channel,
+        |  count(*) AS cnt, round(sum(value), 4) AS total_value
+        |FROM (SELECT event_type, CAST(user_id % 4 AS BIGINT) AS channel, value
+        |      FROM events) t
+        |GROUP BY ROLLUP (event_type, channel)""".stripMargin,
     "q_json_field" ->
       """SELECT event_type, count(*) AS cnt,
         |  round(avg(k), 4) AS avg_k, max(k) AS max_k

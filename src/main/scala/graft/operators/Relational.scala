@@ -165,6 +165,35 @@ object Relational {
         max(col("s_end") - col("s_start")).as("max_session_us"))
   }
 
+  /** Pivot: event counts reshaped to one column per channel — the OLAP
+    * crosstab. Expressed as conditional aggregation (not the DataFrame
+    * `pivot()` API, which collects distinct keys to the driver first):
+    * with a KNOWN key set this is one shuffle, no driver round-trip.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val byChannel = (c: Int) =>
+      count(when(pmod(col("user_id"), lit(4)) === c, lit(1))).as(s"ch$c")
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(byChannel(0), (1 until 4).map(byChannel) :+
+        round(sum(col("value")), 4).as("total_value"): _*)
+  }
+
+  /** Rollup: (event_type, channel) counts with per-type subtotals and a
+    * grand total — GROUPING SETS aggregation, one expand + one shuffle.
+    * Grouping-null markers are coalesced to 'ALL' / -1 so the output has
+    * no NULL group keys (and the oracle compares cleanly).
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"), pmod(col("user_id"), lit(4)).as("channel"), col("value"))
+      .rollup(col("event_type"), col("channel"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("channel"), lit(-1L)).as("channel"),
+        col("cnt"), col("total_value"))
+
   /** JSON-field query — Milvus dynamic/JSON fields (`props["k"] >= v`
     * filter expressions). Path extraction + predicate + grouped agg; the
     * JSON parse is a narrow codegen'd map, the agg one shuffle.

@@ -57,4 +57,19 @@ class RelationalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Long]("users") <= r.getAs[Long]("cnt")))
   }
+
+  test("q_pivot row sums and q_rollup grand total agree with the raw count") {
+    val n = graft.Tables.events(spark, sfDir).count()
+    val pivotTotal = Relational.qPivot(spark, sfDir).collect()
+      .map(r => (0 until 4).map(c => r.getAs[Long](s"ch$c")).sum).sum
+    assert(pivotTotal == n, "pivot cells must partition the stream")
+    val rollup = Relational.qRollup(spark, sfDir).collect()
+    val grand = rollup.filter(r =>
+      r.getAs[String]("event_type") == "ALL" && r.getAs[Long]("channel") == -1L)
+    assert(grand.length == 1 && grand.head.getAs[Long]("cnt") == n)
+    // leaf rows (no ALL marker) also partition the stream
+    val leaves = rollup.filter(r =>
+      r.getAs[String]("event_type") != "ALL" && r.getAs[Long]("channel") != -1L)
+    assert(leaves.map(_.getAs[Long]("cnt")).sum == n)
+  }
 }
