@@ -90,6 +90,33 @@ class CdcPropertySpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("sessionize algebra: window cumsum == brute-force gap scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gap = 5L
+    val gen = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(0L, 4L)
+      ts <- Gen.choose(0L, 60L)
+    } yield (u, ts))
+    (1 to 10).foreach { i =>
+      val evs = gen.pureApply(params, Seed(5000L + i))
+        .zipWithIndex.map { case ((u, ts), idx) => (u, ts, idx.toLong) }
+      val byUser = Window.partitionBy(col("u")).orderBy(col("ts"), col("id"))
+      val got = evs.toDF("u", "ts", "id")
+        .withColumn("prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("ns", when(col("prev").isNull || col("ts") - col("prev") > gap, 1L)
+          .otherwise(0L))
+        .withColumn("sid", sum(col("ns")).over(byUser))
+        .groupBy(col("u")).agg(max(col("sid")).as("n_sessions"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = evs.groupBy(_._1).map { case (u, es) =>
+        val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
+        u -> (1L + ts.zip(ts.tail).count { case (a, b) => b - a > gap })
+      }
+      assert(got == expected, s"seed ${5000L + i}")
+    }
+  }
+
   test("as-of carry-forward: running struct-max == brute-force last-at-or-before") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
