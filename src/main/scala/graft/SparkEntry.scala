@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "q_pivot" -> (Relational.qPivot _),
     "q_rollup" -> (Relational.qRollup _),
+    "q_point_get" -> ((s, d) => Similarity.pointGet(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -544,6 +545,12 @@ object SparkEntry {
         |WHERE last_upsert_ts IS NOT NULL
         |  AND (last_delete_ts IS NULL OR last_upsert_ts >= last_delete_ts)
         |  AND last_upsert_ts + INTERVAL 6 HOUR <= head_ts""".stripMargin,
+    "q_point_get" ->
+      """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+        |FROM embeddings WHERE vec_id IN (3, 17, 42, 99, 123)""".stripMargin,
     "vec_l2_knn" ->
       """WITH n AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm

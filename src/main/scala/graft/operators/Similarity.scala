@@ -120,6 +120,20 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** Point lookup — Milvus `get(ids=[...])`: fetch rows by primary key
+    * with projected output fields. The id set reaches the parquet scan as
+    * an In PushedFilter; at 100 TB with a sorted/bucketed layout this is a
+    * few row groups, not a scan.
+    */
+  def pointGet(spark: SparkSession, dir: String,
+      ids: Seq[Long] = Seq(3L, 17L, 42L, 99L, 123L)): DataFrame =
+    embeddings(spark, dir)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        round(Vec.l2Norm(col("embedding")), 4).as("l2_norm"))
+
   /** L2 (euclidean) top-k — Milvus `metric_type=L2`. dist² = |a|² + |b|² −
     * 2⟨a,b⟩ from the precomputed norms: one dot per pair, same narrow
     * scoring map as cosine. Smallest distance first.

@@ -62,6 +62,13 @@ class PlanAuditSpec extends SparkSpec {
       "scan must prune to the referenced columns")
   }
 
+  test("q_point_get pushes the id set to the scan") {
+    val plan = planOf(Similarity.pointGet(spark, sfDir))
+    assert(plan.contains("PushedFilters") && plan.contains("In(vec_id"),
+      s"point lookup must prune at the scan:\n$plan")
+    assert(!plan.contains("Exchange"))
+  }
+
   test("vec_ivf_search: build + probe + search is shuffle-free (narrow map + partial top-k)") {
     val plan = planOf(Similarity.ivfSearch(spark, sfDir))
     assert(exchanges(plan) == 0,
