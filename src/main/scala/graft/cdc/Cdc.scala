@@ -109,13 +109,18 @@ object Cdc {
     * core/reader/ts_manager.go:162-216). 4-row aggregate → the global
     * min is a window over a single tiny partition.
     */
-  def channelWatermark(spark: SparkSession, dir: String): DataFrame = {
-    val perChannel = events(spark, dir)
-      .groupBy(pmod(col("user_id"), lit(NumChannels)).as("channel"))
+  def channelWatermark(spark: SparkSession, dir: String): DataFrame =
+    channelWatermarkFrom(events(spark, dir)
+      .select(pmod(col("user_id"), lit(NumChannels)).as("channel"), col("ts")))
+
+  /** Watermark algebra on an arbitrary (channel, ts) stream — exercised
+    * directly by the reference-vector spec (ts_manager_test.go:75-101).
+    */
+  private[graft] def channelWatermarkFrom(ch: DataFrame): DataFrame =
+    ch.groupBy(col("channel"))
       .agg(max(col("ts")).as("channel_max_ts"), count(lit(1)).as("channel_cnt"))
-    perChannel.withColumn("global_watermark",
-      min(col("channel_max_ts")).over(Window.partitionBy()))
-  }
+      .withColumn("global_watermark",
+        min(col("channel_max_ts")).over(Window.partitionBy()))
 
   /** Data-barrier completion: a DDL stamped at ts T applies only after
     * every channel has delivered a message with ts >= T
@@ -128,15 +133,25 @@ object Cdc {
     val ev = events(spark, dir)
     val ddls = ev.filter(col("event_type") === "signup" && col("event_id") % 500 === 0)
       .select(col("event_id").as("ddl_id"), col("ts").as("ddl_ts"))
-    val crossings = ev
-      .select(pmod(col("user_id"), lit(NumChannels)).as("channel"), col("ts"))
+    barrierTsFrom(
+      ev.select(pmod(col("user_id"), lit(NumChannels)).as("channel"), col("ts")),
+      ddls, NumChannels)
+  }
+
+  /** Barrier algebra on arbitrary (channel, ts) + (ddl_id, ddl_ts) frames —
+    * exercised directly by the reference-vector spec
+    * (data_barrier_test.go:33-64).
+    */
+  private[graft] def barrierTsFrom(ch: DataFrame, ddls: DataFrame,
+      numChannels: Int): DataFrame = {
+    val crossings = ch
       .join(broadcast(ddls), col("ts") >= col("ddl_ts"))
       .groupBy(col("ddl_id"), col("ddl_ts"), col("channel"))
       .agg(min(col("ts")).as("first_crossing"))
     crossings.groupBy(col("ddl_id"), col("ddl_ts"))
       .agg(count(lit(1)).as("channels_crossed"),
         max(col("first_crossing")).as("barrier_ts"))
-      .filter(col("channels_crossed") === NumChannels)
+      .filter(col("channels_crossed") === numChannels)
       .select(col("ddl_id"), col("ddl_ts"), col("barrier_ts"))
   }
 
