@@ -40,6 +40,22 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Register every testdata table as a temp view (plus the vector SQL
+    * functions), so the whole engine is reachable from `spark.sql` — the
+    * switch-over surface for a user coming from the reference:
+    *
+    *   Tables.registerAll(spark, dir)
+    *   spark.sql("SELECT vec_id FROM embeddings ORDER BY vec_cosine(...) DESC LIMIT 10")
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    GraftFunctions.register(spark)
+    Seq("lineitem" -> lineitem _, "orders" -> orders _, "customer" -> customer _,
+      "supplier" -> supplier _, "part" -> part _, "nation" -> nation _,
+      "region" -> region _, "events" -> events _, "documents" -> documents _,
+      "embeddings" -> embeddings _)
+      .foreach { case (name, load) => load(spark, dir).createOrReplaceTempView(name) }
+  }
+
   /** Ensure at least default parallelism before a compute-heavy map or
     * nested-loop stage. A small single-file parquet scan is ONE split, so
     * an O(n²) stage downstream would run on one core; the tiny repartition

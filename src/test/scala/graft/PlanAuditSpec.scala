@@ -104,6 +104,21 @@ class PlanAuditSpec extends SparkSpec {
       s"leaf sketches must be computed map-side before the merge:\n$plan")
   }
 
+  test("registerAll exposes every table + the vector functions to spark.sql") {
+    graft.Tables.registerAll(spark, sfDir)
+    val r = spark.sql(
+      """SELECT count(*) AS n FROM events e
+        |JOIN embeddings v ON e.user_id = v.vec_id
+        |WHERE vec_l2norm(v.embedding) > 0""".stripMargin).collect().head
+    assert(r.getAs[Long]("n") > 0)
+    val top = spark.sql(
+      """SELECT v.vec_id FROM embeddings v, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        |WHERE v.vec_id <> 0
+        |ORDER BY vec_cosine(v.embedding, q.qe) DESC, v.vec_id ASC LIMIT 5""".stripMargin)
+      .collect().map(_.getLong(0))
+    assert(top.length == 5)
+  }
+
   test("SQL surface: vec_dot/vec_l2norm/vec_cosine resolve and agree with the Scala API") {
     GraftFunctions.register(spark)
     graft.Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_audit")
