@@ -73,6 +73,7 @@ object SparkEntry {
     "q_pivot" -> (Relational.qPivot _),
     "q_rollup" -> (Relational.qRollup _),
     "q_point_get" -> ((s, d) => Similarity.pointGet(s, d)),
+    "stream_vec_search" -> ((s, d) => graft.streaming.CdcStream.vecSearch(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -353,6 +354,18 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 4) >= 0.45""".stripMargin,
+    // Streaming scoring ≡ the batch knn join — shares its oracle shape.
+    "stream_vec_search" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 8),
+        |s AS (SELECT q_id, n.vec_id,
+        |    round(list_sum(list_transform(list_zip(n.embedding, qe),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * qn), 4) AS cos
+        |  FROM n, q WHERE n.vec_id >= 8),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM s)
+        |SELECT q_id, vec_id, cos, rk FROM r WHERE rk <= 3""".stripMargin,
     // Streaming fold ≡ batch fold — shares the batch snapshot's oracle.
     "stream_cdc_state" ->
       """SELECT * FROM (

@@ -218,6 +218,43 @@ object CdcStream {
         col("event_type"), col("cnt"))
   }
 
+  /** Streaming vector search — queries arrive as a STREAM, scored against
+    * the static corpus (a stream-static join, the Structured Streaming
+    * serving pattern): each microbatch's queries are broadcast against the
+    * corpus scan, the narrow scoring map runs in-stream, and the drained
+    * results are ranked per query. Answer ≡ the batch
+    * [[graft.operators.Similarity.knnJoin]], which is the oracle.
+    *
+    * Scale: the per-batch work is queries × corpus scoring with the SAME
+    * plan the batch engine uses (broadcast of the small query batch,
+    * pushdown on the corpus scan); state-free, so throughput tracks the
+    * scoring map alone.
+    */
+  def vecSearch(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Vec
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val queries = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        Vec.l2Norm(col("embedding")).as("qn"))
+    val corpus = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("embedding"), Vec.l2Norm(col("embedding")).as("nrm"))
+    val scored = queries.join(corpus)
+      .select(col("q_id"), col("vec_id"),
+        round(Vec.cosinePrenorm(col("embedding"), col("qe"), col("nrm"), col("qn")), 4)
+          .as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    drain(scored, "append")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Streaming replay dedup: the reader's skip-state over a re-delivered
     * tail (reference: core/reader/collection_reader.go:107-144) as a live
     * `dropDuplicates` — the replayed stream (full ∪ tail) is deduped on

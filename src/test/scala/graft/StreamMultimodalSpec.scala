@@ -141,6 +141,15 @@ class StreamMultimodalSpec extends SparkSpec {
       "the still-open tail window must NOT have been emitted")
   }
 
+  test("stream_vec_search equals the batch knn join") {
+    import org.apache.spark.sql.Row
+    def key(rows: Array[Row]) = rows.map(r => (r.getAs[Long]("q_id"),
+      r.getAs[Long]("vec_id"), r.getAs[Double]("cos"), r.getAs[Long]("rk"))).toSet
+    val live = key(CdcStream.vecSearch(spark, sfDir).collect())
+    val batch = key(graft.operators.Similarity.knnJoin(spark, sfDir).collect())
+    assert(live == batch, "streamed scoring must equal the batch search")
+  }
+
   test("stream_replay_dedup recovers exact per-channel counts from a replayed stream") {
     val live = CdcStream.replayDedup(spark, sfDir).collect()
       .map(r => r.getAs[Long]("channel") -> r.getAs[Long]("dedup_cnt")).toMap
