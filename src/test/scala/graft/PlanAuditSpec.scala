@@ -62,6 +62,12 @@ class PlanAuditSpec extends SparkSpec {
       "scan must prune to the referenced columns")
   }
 
+  test("q_sessionize: one user_id shuffle serves windows and both aggregations") {
+    val plan = planOf(graft.operators.Relational.qSessionize(spark, sfDir))
+    assert(exchanges(plan) <= 2,
+      s"user_id partitioning must be reused across window + aggs:\n$plan")
+  }
+
   test("q_point_get pushes the id set to the scan") {
     val plan = planOf(Similarity.pointGet(spark, sfDir))
     assert(plan.contains("PushedFilters") && plan.contains("In(vec_id"),
