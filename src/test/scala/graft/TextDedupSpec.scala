@@ -68,6 +68,15 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_clusters degenerates to all-singletons when no pair clears tau") {
+    val rows = Dedup.clusters(spark, sfDir, tau = 1.01).collect()
+    assert(rows.length == graft.Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_id") == r.getAs[Long]("doc_id"))
+      assert(r.getAs[Boolean]("is_canonical"))
+    }
+  }
+
   test("q_sessionize: per-user totals partition the stream") {
     val rows = graft.operators.Relational.qSessionize(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("total_events")).sum
