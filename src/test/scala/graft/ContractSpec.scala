@@ -1,0 +1,37 @@
+package graft
+
+/** Driver-contract integrity: the invariants the correctness gate assumes.
+  * A typo'd key or a query that throws on construction would silently
+  * become a missing oracle row in the driver's compare — fail fast here.
+  */
+class ContractSpec extends SparkSpec {
+
+  test("every oracle key names a query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql keys without a query: $orphans")
+  }
+
+  test("the operator inventory is complete and oracle-dominant") {
+    assert(SparkEntry.queries.size >= 62)
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // Only sketch/LSH internals may lack a value-level oracle.
+    assert(noOracle.subsetOf(Set(
+      "dedup_minhash_lsh", "dedup_simhash", "q_approx_distinct",
+      "q_value_quantiles", "q_hll_merge")), s"unexpected rows-only ops: $noOracle")
+  }
+
+  test("entry() returns rows (the driver's smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every batch query constructs a plan against sf0.001") {
+    // Construction must never throw (streaming queries execute on
+    // construction and are exercised by their own specs).
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!name.startsWith("stream_")) {
+        val df = fn(spark, sfDir)
+        assert(df.schema.fields.nonEmpty, s"$name: empty schema")
+      }
+    }
+  }
+}
