@@ -74,6 +74,7 @@ object SparkEntry {
     "q_rollup" -> (Relational.qRollup _),
     "q_point_get" -> ((s, d) => Similarity.pointGet(s, d)),
     "stream_vec_search" -> ((s, d) => graft.streaming.CdcStream.vecSearch(s, d)),
+    "vec_lsh_search" -> ((s, d) => Similarity.lshSearch(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -595,6 +596,22 @@ object SparkEntry {
         |  CAST(bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1)) AS BIGINT) AS hamming
         |FROM w, q WHERE vec_id <> 0
         |ORDER BY hamming ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "vec_lsh_search" ->
+      """WITH n AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    CAST(list_sum(list_transform(range(0, 8),
+        |      i -> CASE WHEN embedding[i + 1] > 0 THEN 1::BIGINT << i ELSE 0 END)) AS BIGINT) AS bk
+        |  FROM embeddings),
+        |q AS (SELECT embedding AS qe, nrm AS qn, bk AS qb FROM n WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT qb AS pb FROM q
+        |  UNION ALL SELECT xor(qb, 1 << i) FROM q, unnest(generate_series(0, 7)) AS u(i))
+        |SELECT vec_id, n.bk AS bucket,
+        |  round(list_sum(list_transform(list_zip(n.embedding, qe),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * qn), 4) AS cos
+        |FROM n JOIN probes ON n.bk = probes.pb, q
+        |WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     // IVF is oracle-checkable because the "index build" is deterministic:
     // centroids are the first nlist vectors, assignment is argmax cosine.
     "vec_ivf_search" ->

@@ -191,6 +191,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** LSH-bucketed ANN — the other scale path next to [[ivfSearch]]:
+    * sign-random-projection buckets (here axis-aligned sign bits — fully
+    * deterministic, so the probe set and therefore the result is
+    * oracle-checkable), multi-probe over all buckets within Hamming ≤ 1 of
+    * the query's bucket, exact cosine re-rank of the candidates.
+    *
+    * Scale: candidates ≈ corpus × probes / 2^bits; the bucket key is a
+    * pure narrow map (ideal as a partition/sort key at ingest, making the
+    * probe a partition-pruned read), re-rank touches candidates only.
+    */
+  def lshSearch(spark: SparkSession, dir: String, k: Int = 10,
+      bits: Int = 8): DataFrame = {
+    def bucket(e: Column): Column =
+      (0 until bits).map { i =>
+        when(element_at(e, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val n = normed(spark, dir).withColumn("bk", bucket(col("embedding")))
+    // The query's bucket is index metadata (one row) — resolve it driver-
+    // side, then multi-probe = the 1+bits buckets within Hamming <= 1.
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("embedding"), col("nrm"), col("bk")).collect().head
+    val (qe, qn, qb) = (q.getSeq[Float](0).toArray, q.getDouble(1), q.getLong(2))
+    val probes = qb +: (0 until bits).map(i => qb ^ (1L << i))
+    n.filter(col("bk").isin(probes: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("bk").as("bucket"),
+        round(Vec.cosinePrenorm(col("embedding"), typedlit(qe), col("nrm"), lit(qn)), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Milvus grouping search (`search` with `group_by_field`): top-k where
     * each GROUP contributes its single best hit — the best match per label,
     * then the k best labels. Per-group argmax via max_by (map-side partial

@@ -65,6 +65,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall below floor")
   }
 
+  test("vec_lsh_search: exact scores, candidates only from probed buckets") {
+    val rows = Similarity.lshSearch(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val bfAll = Similarity.rangeSearch(spark, sfDir, tau = -1.1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    rows.foreach(r =>
+      assert(bfAll(r.getAs[Long]("vec_id")) == r.getAs[Double]("cos"),
+        "LSH hits must carry the exact cosine"))
+    val bfTop = Similarity.knnBruteforce(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = rows.count(r => bfTop.contains(r.getAs[Long]("vec_id"))).toDouble / bfTop.size
+    info(s"lsh recall@10 = $recall (8-bit buckets, Hamming<=1 probes)")
+  }
+
   test("vec_grouped_knn: one best hit per label, scored exactly") {
     val rows = Similarity.groupedKnn(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 5)
