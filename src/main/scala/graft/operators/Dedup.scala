@@ -18,6 +18,28 @@ object Dedup {
   import graft.Tables._
   import Text.{normText, toks}
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Frames cached by this suite (shingles, pair stats, cluster edges).
+    * Cached plans are shared across the dedup operators by CacheManager
+    * plan equality, so they are deliberately NOT unpersisted per-operator;
+    * a long-lived session (the bench driver, a notebook) calls
+    * [[clearCaches]] when done with the dedup suite to release executor
+    * storage instead of waiting on LRU eviction.
+    */
+  private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def tracked(df: DataFrame): DataFrame = synchronized {
+    trackedCaches += df
+    df.cache()
+  }
+
+  /** Unpersist every frame this suite has cached. */
+  def clearCaches(): Unit = synchronized {
+    trackedCaches.foreach(_.unpersist(blocking = false))
+    trackedCaches.clear()
+  }
+
   /** Distinct HASHED token-3-gram shingles per doc: (doc_id, gh: long).
     * Grams are xxhash64'd to 64 bits inside the transform, so the explode,
     * the shuffle, and every downstream join/agg carry 8-byte longs instead
@@ -42,10 +64,9 @@ object Dedup {
     // CacheManager dedups by plan equality, so one in-memory copy of the
     // (doc_id, gh) pairs serves every consumer instead of re-tokenizing
     // the corpus per query.
-    graft.Tables.spread(docs)
+    tracked(graft.Tables.spread(docs)
       .select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), explode(array_distinct(grams)).as("gh"))
-      .cache()
+      .select(col("doc_id"), explode(array_distinct(grams)).as("gh")))
   }
 
   /** Exact dedup: md5(normalized text) → canonical doc per group.
@@ -78,13 +99,12 @@ object Dedup {
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("s"))
-    shared
+    tracked(shared
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         round(col("s").cast("double") /
-          (col("ca.n") + col("cb.n") - col("s")).cast("double"), 4).as("jaccard"))
-      .cache()
+          (col("ca.n") + col("cb.n") - col("s")).cast("double"), 4).as("jaccard")))
   }
 
   /** MinHash signature length / LSH banding: K = B*R. R=2, B=16 targets the
