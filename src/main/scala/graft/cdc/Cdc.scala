@@ -328,6 +328,165 @@ object Cdc {
         sum(length(col("props")).cast("long")).as("payload_bytes"),
         min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
 
+  /** DDL replication apply — fold the DDL log into live catalog state, each
+    * DDL applied at its data-barrier TS. Mirrors the writer's 4 replicate-API
+    * events (core/writer/channel_writer.go:107-113 `initAPIEventFuncs`:
+    * CreateCollection / DropCollection / CreatePartition / DropPartition)
+    * applied only once their barrier completes
+    * (core/reader/data_barrier.go:27-60).
+    *
+    * DDL surrogates: the barrier markers ([[barrierTs]]'s sampled signups),
+    * k = ddl_id / 500 → collection `k % 3`, op `k % 4` cycling through the 4
+    * API events. Catalog fold per collection: alive = last collection-level
+    * op (by barrier application order: barrier_ts, then ddl_id) is a create;
+    * live partitions = creates − drops.
+    *
+    * Scale: the DDL log is tiny by construction (DDLs are rare events), so
+    * after [[barrierTs]]'s stream aggregation this is a few-row groupBy —
+    * the catalog fold itself costs nothing at any data size.
+    */
+  def ddlApply(spark: SparkSession, dir: String): DataFrame = {
+    val k = expr("ddl_id DIV 500")
+    val ops = barrierTs(spark, dir)
+      .select(col("ddl_id"), col("barrier_ts"),
+        pmod(k, lit(3)).as("collection_id"),
+        element_at(
+          array(lit("create_collection"), lit("create_partition"),
+            lit("drop_partition"), lit("drop_collection")),
+          (pmod(k, lit(4)) + 1).cast("int")).as("op"))
+    ddlApplyFrom(ops)
+  }
+
+  /** Catalog fold on an arbitrary (ddl_id, barrier_ts, collection_id, op)
+    * log — split out so specs can feed hand-built DDL sequences.
+    * `max(when(...))` over struct(barrier_ts, ddl_id, op): max ignores the
+    * null (non-collection-op) rows and orders by the leading fields, so the
+    * trailing op field rides along as the argmax payload.
+    */
+  private[graft] def ddlApplyFrom(ops: DataFrame): DataFrame = {
+    val isCollOp = col("op").isin("create_collection", "drop_collection")
+    ops.groupBy(col("collection_id"))
+      .agg(
+        count(lit(1)).as("n_ddls"),
+        max(col("ddl_id")).as("last_ddl_id"),
+        max(col("barrier_ts")).as("last_applied_ts"),
+        max(when(isCollOp, struct(col("barrier_ts"), col("ddl_id"), col("op"))))
+          .as("cc"),
+        count(when(col("op") === "create_partition", lit(1))).as("parts_created"),
+        count(when(col("op") === "drop_partition", lit(1))).as("parts_dropped"))
+      .select(col("collection_id"),
+        coalesce(col("cc.op") === "create_collection", lit(false)).as("alive"),
+        col("n_ddls"), col("last_ddl_id"), col("last_applied_ts"),
+        (col("parts_created") - col("parts_dropped")).as("live_partitions"))
+  }
+
+  /** Task control-plane as a metadata query — the reference's CDC task API
+    * (server/cdc_api.go:27-36 Create/Delete/Pause/Resume/Get/GetPosition/
+    * List) re-expressed as a last-write-wins fold of a task op log plus the
+    * latest consumed position per task (server/model/meta/task.go:29-43
+    * states Initial/Running/Paused; delete removes the task — surfaced here
+    * as a terminal 'Deleted' state so List shows the tombstone).
+    *
+    * Task op surrogates: click events at event_id % 300 == 0; k = event_id /
+    * 300 → task `k % 3` (each task replicates channel = its id), op `k % 4`
+    * cycling create/pause/resume/delete. State = last op mapped
+    * create|resume → Running, pause → Paused, delete → Deleted; position =
+    * the task's channel head (max (ts, event_id)) — GetPosition.
+    *
+    * Scale: same max_by shape as [[latestUpsert]] on a log that is tiny by
+    * construction; the position join is a per-channel aggregate (NumChannels
+    * rows) joined to a handful of tasks.
+    */
+  def taskState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val k = expr("event_id DIV 300")
+    val opsLog = ev
+      .filter(col("event_type") === "click" && pmod(col("event_id"), lit(300)) === 0)
+      .select(pmod(k, lit(3)).as("task_id"),
+        element_at(array(lit("create"), lit("pause"), lit("resume"), lit("delete")),
+          (pmod(k, lit(4)) + 1).cast("int")).as("op"),
+        col("ts"), col("event_id"))
+    val positions = ev
+      .groupBy(pmod(col("user_id"), lit(NumChannels)).as("channel"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("p"))
+    taskStateFrom(opsLog, positions)
+  }
+
+  /** Task fold on arbitrary (task_id, op, ts, event_id) + (channel, p) frames
+    * — split out for spec-built op sequences.
+    */
+  private[graft] def taskStateFrom(opsLog: DataFrame, positions: DataFrame): DataFrame =
+    opsLog.groupBy(col("task_id"))
+      .agg(count(lit(1)).as("n_ops"),
+        max(struct(col("ts"), col("event_id"), col("op"))).as("m"))
+      .select(col("task_id"), col("n_ops"),
+        col("m.op").as("last_op"), col("m.ts").as("last_op_ts"))
+      .withColumn("state",
+        when(col("last_op") === "pause", "Paused")
+          .when(col("last_op") === "delete", "Deleted")
+          .otherwise("Running"))
+      .join(broadcast(positions), col("task_id") === col("channel"))
+      .select(col("task_id"), col("state"), col("n_ops"), col("last_op"),
+        col("last_op_ts"), col("p.ts").as("pos_ts"), col("p.event_id").as("pos_event_id"))
+
+  /** Multi-collection watermark — the reference replicates MANY collections
+    * per task, each scoped to its own channel set with per-collection TS
+    * tracking (core/reader/collection_reader.go, replicate_channel_manager
+    * .go); the replication watermark is per collection: min across that
+    * collection's channels of the channel max TS (ts_manager.GetMinTS,
+    * core/reader/ts_manager.go:162-216, instantiated per collection).
+    *
+    * Collection surrogate: `user_id % 3` — deliberately coprime with the
+    * channel hash (`user_id % 4`) so every collection spans all channels.
+    *
+    * Scale: one shuffle on the composite (collection, channel) key with
+    * map-side partials → collections × channels rows; the per-collection
+    * min is a window over those few rows, not the stream.
+    */
+  def collectionWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val NumCollections = 3
+    events(spark, dir)
+      .groupBy(pmod(col("user_id"), lit(NumCollections)).as("collection_id"),
+        pmod(col("user_id"), lit(NumChannels)).as("channel"))
+      .agg(max(col("ts")).as("channel_max_ts"), count(lit(1)).as("channel_cnt"))
+      .withColumn("collection_watermark",
+        min(col("channel_max_ts")).over(
+          Window.partitionBy(col("collection_id"))))
+  }
+
+  /** Kafka sink message format — the reference's Kafka downstream marshals
+    * each change as JSON (core/writer/kafka_formatter.go:30-34 KafkaFormat
+    * {name, type, value} per column; Format(): InsertParam → a JSON ARRAY of
+    * per-column objects, DeleteParam → ONE object for the PK column;
+    * core/writer/kafka_handler.go routes them to the configured topic).
+    * Here: upserts carry [user_id, event_id, event_type, ts] (ts as the TSO
+    * the reference stamps, [[tsoConvert]]); deletes carry the PK only.
+    *
+    * The message body is built with deterministic string concatenation (no
+    * float formatting, types Int64/VarChar as milvus entity type names), so
+    * the oracle can restate it byte-for-byte in SQL.
+    *
+    * Scale: a pure narrow projection — zero shuffles; on a real pipeline
+    * this is the serializer stage of the stream sink.
+    */
+  def kafkaFormat(spark: SparkSession, dir: String): DataFrame = {
+    val logicalBits = 18
+    val tso = (shiftleft(unix_millis(col("ts")), logicalBits) +
+      pmod(col("event_id"), lit(1L << logicalBits))).cast("string")
+    val insertVal = concat(
+      lit("""[{"name":"user_id","type":"Int64","value":"""), col("user_id").cast("string"),
+      lit("""},{"name":"event_id","type":"Int64","value":"""), col("event_id").cast("string"),
+      lit("""},{"name":"event_type","type":"VarChar","value":""""), col("event_type"),
+      lit(""""},{"name":"ts","type":"Int64","value":"""), tso, lit("}]"))
+    val deleteVal = concat(
+      lit("""{"name":"user_id","type":"Int64","value":"""), col("user_id").cast("string"),
+      lit("}"))
+    events(spark, dir)
+      .select(col("event_id"), pmod(col("user_id"), lit(NumChannels)).as("channel"),
+        when(isDelete, lit("delete")).otherwise(lit("insert")).as("msg_type"),
+        when(isDelete, deleteVal).otherwise(insertVal).as("kafka_value"))
+  }
+
   /** Replication lag per channel from a checkpoint: pending message count
     * and time distance between the last ack'd TS and the head TS.
     */

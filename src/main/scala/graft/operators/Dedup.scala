@@ -18,19 +18,22 @@ object Dedup {
   import graft.Tables._
   import Text.{normText, toks}
 
-  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
   /** Frames cached by this suite (shingles, pair stats, cluster edges).
     * Cached plans are shared across the dedup operators by CacheManager
     * plan equality, so they are deliberately NOT unpersisted per-operator;
-    * a long-lived session (the bench driver, a notebook) calls
-    * [[clearCaches]] when done with the dedup suite to release executor
-    * storage instead of waiting on LRU eviction.
+    * a long-lived session (the bench driver, a notebook, the per-SF loop in
+    * tools/CheckLshRecall) MAY call [[clearCaches]] when done with the
+    * dedup suite to release executor storage instead of waiting on LRU
+    * eviction — graft.Bench does so after its timed runs.
     */
   private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   private def tracked(df: DataFrame): DataFrame = synchronized {
-    trackedCaches += df
+    // CacheManager dedups cache() by plan equality; dedup here too so a
+    // long session doesn't accumulate duplicate references (and redundant
+    // unpersist calls on clear).
+    if (!trackedCaches.exists(_.queryExecution.logical == df.queryExecution.logical))
+      trackedCaches += df
     df.cache()
   }
 
@@ -184,10 +187,24 @@ object Dedup {
     * (Kiveris et al., "Connected Components in MapReduce", SoCC 2014).
     * `localCheckpoint` cuts lineage growth per iteration.
     */
+  /** Edge source for [[clusters]]: the banded-LSH candidate path, NOT the
+    * quadratic gram self-join — candidates stay ~linear, and the verify step
+    * inside [[minhashLsh]] re-checks exact Jaccard ≥ τ, so the edge set
+    * equals the exact τ-pair set whenever banding recall is 1
+    * (tools/CheckLshRecall measures missed=0, extra=0 at sf0.001/0.01/0.1
+    * for τ=0.5; at B=16/R=2 a missed pair needs all 16 bands to split a
+    * j ≥ 0.5 pair — P ≈ (1−j²)¹⁶ ≤ 1%). The recursive-CTE oracle stays the
+    * exact transitive closure. PlanAuditSpec pins this edge plan to the
+    * minhash path.
+    */
+  private[graft] def clusterEdges(spark: SparkSession, dir: String,
+      tau: Double): DataFrame =
+    minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b"))
+
   def clusters(spark: SparkSession, dir: String, tau: Double = 0.5,
       maxIter: Int = 20): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"))
-    val pairs = ngramJaccard(spark, dir, tau).select(col("doc_a"), col("doc_b"))
+    val pairs = clusterEdges(spark, dir, tau)
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()

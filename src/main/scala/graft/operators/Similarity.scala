@@ -102,20 +102,55 @@ object Similarity {
         round(col("nrm"), 4).as("l2_norm"),
         round(element_at(col("embedding"), 1).cast("double") / col("nrm"), 4).as("head_norm"))
 
-  /** Embedding near-dup pairs: cosine ≥ τ, vec_id_a < vec_id_b. The exact
-    * quadratic baseline (broadcast nested-loop on the a<b band) — the
-    * LSH/IVF bucketing in [[ivfSearch]]/[[Dedup.simhash]] is the posture
-    * that replaces this at 10⁹ rows.
+  /** Embedding near-dup pairs: exact cosine ≥ τ, vec_id_a < vec_id_b, via a
+    * BLOCK-GRID join — the distributed exact all-pairs shape, not a
+    * cartesian.
+    *
+    * Why exact, not LSH: at τ = 0.45 the qualifying pairs are wide-angle
+    * (acos 0.45 ≈ 63°; measured cos on the test corpora spans 0.45-0.60,
+    * ~90% of pairs cross label clusters). Sign-projection banding at that
+    * angle collides on random pairs almost as often as on true pairs
+    * (p_bit ≈ 0.65 vs 0.5): the only recall-safe banding (R=2, B=32, miss
+    * ≈ 3e-8) admits ~ALL pairs as candidates, i.e. quadratic work plus LSH
+    * overhead — measured IVF top-2 blocking covers only ~57% of true pairs.
+    * When the output itself is near the random tail, exact all-pairs IS the
+    * algorithm; banding pays off only in the high-τ regime (τ ≥ 0.8, where
+    * R=16-bit bands reject random pairs 1e-5 vs 2.5e-2 for true ones) —
+    * that regime is served by [[Dedup.simhash]]-style chunk buckets.
+    *
+    * The scale problem with the naive formulation is not the O(n²) scoring
+    * (inherent) but the BroadcastNestedLoopJoin: one side materialized
+    * whole on every executor. The block grid fixes that: vectors hash into
+    * NB blocks by id; each unordered block pair (i ≤ j) is one join-key
+    * group, sides replicated ~NB/2× — a plain shuffled equi-join where
+    * per-task memory is bounded by 2 block sizes (tune NB ∝ √cores so
+    * blocks fit executors), parallelism = NB(NB+1)/2 grid cells, and no
+    * relation is ever broadcast or nested-loop scanned.
     */
-  def pairwiseDups(spark: SparkSession, dir: String, tau: Double = 0.45): DataFrame = {
+  def pairwiseDups(spark: SparkSession, dir: String, tau: Double = 0.45,
+      nBlocks: Int = 8): DataFrame = {
     val n = normed(spark, dir)
-    // Spread the streamed side of the nested-loop: a single-file scan is one
-    // split, which would serialize the O(n²) scoring on one core.
-    val a = graft.Tables.spread(
-      n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")))
-    val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        pmod(col("vec_id"), lit(nBlocks)).as("blk"))
+    // a-side owns grid cells (blk, q) for q >= blk; b-side cells (p, blk)
+    // for p <= blk — every unordered block pair meets in exactly one cell.
+    val a = n
+      .withColumn("gj", explode(array((0 until nBlocks).map(lit): _*)))
+      .filter(col("blk") <= col("gj"))
+      .select(col("blk").as("gi"), col("gj"),
+        col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n
+      .withColumn("gi", explode(array((0 until nBlocks).map(lit): _*)))
+      .filter(col("gi") <= col("blk"))
+      .select(col("gi"), col("blk").as("gj"),
+        col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    // Off-diagonal cells pair distinct blocks, so every match is a distinct
+    // unordered pair (normalize id order on output); on the diagonal both
+    // orderings meet, so keep the a < b half. Cosine is symmetric.
+    a.join(b, Seq("gi", "gj"))
+      .filter(col("gi") =!= col("gj") || col("vec_a") < col("vec_b"))
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"),
         round(Vec.cosinePrenorm(col("ea"), col("eb"), col("na"), col("nb")), 4).as("cos"))
       .filter(col("cos") >= tau)
   }

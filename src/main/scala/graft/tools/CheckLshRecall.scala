@@ -22,6 +22,9 @@ object CheckLshRecall {
       val missed = exact.except(lsh).count()
       val extra = lsh.except(exact).count()
       println(s"RECALL $sf exact=${exact.count()} missed=$missed extra=$extra")
+      // Release this SF's tracked shingle/pair caches before the next one —
+      // the three SFs would otherwise accumulate in one session's storage.
+      Dedup.clearCaches()
     }
     spark.stop()
   }

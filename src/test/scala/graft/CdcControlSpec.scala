@@ -1,0 +1,117 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.cdc.Cdc
+
+/** Control-plane semantics: DDL catalog apply, task-metadata fold,
+  * multi-collection watermark, Kafka message format — the round-4 surface
+  * mirroring channel_writer.go initAPIEventFuncs, server/cdc_api.go, and
+  * kafka_formatter.go.
+  */
+class CdcControlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("ddl_apply folds create/drop into catalog state by barrier order") {
+    // Collection 0: create → create_partition → drop_partition  (alive, 0 parts)
+    // Collection 1: create (later ddl_id) but DROP applies LAST by barrier_ts
+    //   even though its ddl_id is smaller — application order is
+    //   (barrier_ts, ddl_id), not ddl_id.
+    // Collection 2: partition ops only, never created → not alive.
+    val ops = Seq(
+      (1000L, ts("2024-01-01 00:00:00"), 0L, "create_collection"),
+      (1500L, ts("2024-01-02 00:00:00"), 0L, "create_partition"),
+      (2000L, ts("2024-01-03 00:00:00"), 0L, "drop_partition"),
+      (2500L, ts("2024-01-05 00:00:00"), 1L, "drop_collection"),
+      (3000L, ts("2024-01-04 00:00:00"), 1L, "create_collection"),
+      (3500L, ts("2024-01-01 00:00:00"), 2L, "create_partition"))
+      .toDF("ddl_id", "barrier_ts", "collection_id", "op")
+    val out = Cdc.ddlApplyFrom(ops).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getBoolean(1) === true)   // alive
+    assert(out(0L).getLong(5) === 0L)        // live_partitions
+    assert(out(0L).getLong(2) === 3L)        // n_ddls
+    assert(out(1L).getBoolean(1) === false,
+      "drop_collection applies last by barrier_ts despite smaller ddl_id")
+    assert(out(2L).getBoolean(1) === false, "never-created collection is not alive")
+    assert(out(2L).getLong(5) === 1L)
+  }
+
+  test("task_state folds op log last-write-wins and joins positions") {
+    val ops = Seq(
+      (0L, "create", ts("2024-01-01 00:00:00"), 1L),
+      (0L, "pause", ts("2024-01-02 00:00:00"), 2L),
+      (1L, "create", ts("2024-01-01 00:00:00"), 3L),
+      (1L, "pause", ts("2024-01-02 00:00:00"), 4L),
+      (1L, "resume", ts("2024-01-03 00:00:00"), 5L),
+      (2L, "delete", ts("2024-01-04 00:00:00"), 6L))
+      .toDF("task_id", "op", "ts", "event_id")
+    val positions = Seq(
+      (0L, ts("2024-02-01 00:00:00"), 100L),
+      (1L, ts("2024-02-02 00:00:00"), 101L),
+      (2L, ts("2024-02-03 00:00:00"), 102L))
+      .toDF("channel", "pts", "pid")
+      .select(col("channel"), struct(col("pts").as("ts"), col("pid").as("event_id")).as("p"))
+    val out = Cdc.taskStateFrom(ops, positions).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getString(1) === "Paused")
+    assert(out(1L).getString(1) === "Running")
+    assert(out(2L).getString(1) === "Deleted")
+    assert(out(1L).getLong(2) === 3L)                 // n_ops
+    assert(out(1L).getLong(6) === 101L)               // pos_event_id
+    assert(out(0L).getTimestamp(5) === ts("2024-02-01 00:00:00"))
+  }
+
+  test("task_state last-op tiebreak follows (ts, event_id)") {
+    val ops = Seq(
+      (0L, "pause", ts("2024-01-01 00:00:00"), 1L),
+      (0L, "resume", ts("2024-01-01 00:00:00"), 2L)) // same ts, larger id wins
+      .toDF("task_id", "op", "ts", "event_id")
+    val positions = Seq((0L, ts("2024-02-01 00:00:00"), 9L))
+      .toDF("channel", "pts", "pid")
+      .select(col("channel"), struct(col("pts").as("ts"), col("pid").as("event_id")).as("p"))
+    val out = Cdc.taskStateFrom(ops, positions).collect().head
+    assert(out.getString(1) === "Running")
+    assert(out.getString(3) === "resume")
+  }
+
+  test("collection_watermark: per-collection min across its channel maxes") {
+    val rows = Cdc.collectionWatermark(spark, sfDir).collect()
+    assert(rows.length === 12, "3 collections x 4 channels")
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val expect = rs.map(_.getTimestamp(2)).min
+      assert(rs.forall(_.getTimestamp(4) === expect),
+        "collection watermark must equal min of its channels' max ts")
+      assert(rs.map(_.getLong(1)).toSet === Set(0L, 1L, 2L, 3L),
+        "every collection spans all channels")
+    }
+  }
+
+  test("kafka_format produces the reference's message shapes") {
+    val out = Cdc.kafkaFormat(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir)
+    assert(out.count() === ev.count(), "one message per change event")
+    assert(out.filter(col("msg_type") === "delete").count() ===
+      ev.filter(col("event_type") === "error").count())
+    // Inserts: JSON array of {name,type,value} per column (InsertParam
+    // branch, kafka_formatter.go:44-61); get_json_object returns null on
+    // malformed JSON, so these also validate well-formedness.
+    val ins = out.filter(col("msg_type") === "insert")
+      .select(col("event_id"),
+        get_json_object(col("kafka_value"), "$[0].name").as("n0"),
+        get_json_object(col("kafka_value"), "$[1].value").as("v1"),
+        get_json_object(col("kafka_value"), "$[2].type").as("t2"))
+    assert(ins.filter(col("n0") =!= "user_id" || col("t2") =!= "VarChar" ||
+      col("v1") =!= col("event_id").cast("string")).count() === 0)
+    // Deletes: a single {name,type,value} object for the PK column
+    // (DeleteParam branch, kafka_formatter.go:62-76).
+    val del = out.filter(col("msg_type") === "delete")
+      .select(get_json_object(col("kafka_value"), "$.name").as("n"),
+        get_json_object(col("kafka_value"), "$.type").as("t"))
+    assert(del.filter(col("n") =!= "user_id" || col("t") =!= "Int64").count() === 0)
+    out.unpersist()
+  }
+}

@@ -110,6 +110,22 @@ class PlanAuditSpec extends SparkSpec {
       s"leaf sketches must be computed map-side before the merge:\n$plan")
   }
 
+  test("vec_pairwise_dups: block-grid equi-join, no cartesian / nested loop / broadcast corpus") {
+    val plan = planOf(Similarity.pairwiseDups(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs must run as a shuffled block-grid join, never a cartesian:\n$plan")
+    assert(plan.contains("Join"), "the grid must still be a join")
+  }
+
+  test("dedup_clusters edges come from the minhash-LSH candidate path, not the gram self-join") {
+    val plan = planOf(graft.operators.Dedup.clusterEdges(spark, sfDir, 0.5))
+    // The LSH path is recognizable by the minhash signature aggregation
+    // (partial min over seeded xxhash64) feeding the band join; the
+    // quadratic gram self-join has no min aggregation anywhere.
+    assert(plan.contains("partial_min") || plan.contains("min(xxhash64"),
+      s"cluster edges must flow through minhash signatures + banding:\n$plan")
+  }
+
   test("registerAll exposes every table + the vector functions to spark.sql") {
     graft.Tables.registerAll(spark, sfDir)
     val r = spark.sql(
