@@ -79,6 +79,8 @@ object SparkEntry {
     "cdc_task_state" -> (graft.cdc.Cdc.taskState _),
     "cdc_collection_watermark" -> (graft.cdc.Cdc.collectionWatermark _),
     "cdc_kafka_format" -> (graft.cdc.Cdc.kafkaFormat _),
+    "cdc_position_log" -> (graft.cdc.Cdc.positionLog _),
+    "cdc_op_messages" -> (graft.cdc.Cdc.opMessages _),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -776,6 +778,55 @@ object SparkEntry {
         |    ((epoch_ms(CAST(ts AS TIMESTAMP)) << 18) + (event_id % 262144)) || '}]'
         |  END AS kafka_value
         |FROM events""".stripMargin,
+    "cdc_position_log" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id % 3 AS BIGINT) AS collection_id,
+        |    CAST(user_id % 4 AS BIGINT) AS channel, ts, event_id
+        |  FROM events),
+        |saves AS (
+        |  SELECT collection_id, channel, count(*) AS n_saves,
+        |    max(ROW(ts, event_id)) AS p
+        |  FROM ev WHERE event_id % 100 = 0
+        |  GROUP BY collection_id, channel),
+        |latest AS (
+        |  SELECT collection_id, channel, n_saves,
+        |    CAST(p[1] AS TIMESTAMP) AS pos_ts, p[2] AS pos_event_id
+        |  FROM saves)
+        |SELECT l.collection_id, l.channel, l.n_saves, l.pos_ts, l.pos_event_id,
+        |  count(*) FILTER (WHERE (e.ts, e.event_id) > (l.pos_ts, l.pos_event_id))
+        |    AS pending_after_reload
+        |FROM ev e JOIN latest l
+        |  ON e.collection_id = l.collection_id AND e.channel = l.channel
+        |GROUP BY ALL""".stripMargin,
+    "cdc_op_messages" ->
+      """WITH ops AS (
+        |  SELECT CAST((event_id // 700) % 3 AS BIGINT) AS collection_id,
+        |    ['create_index','drop_index','load_collection','release_collection',
+        |     'flush','create_database'][CAST((event_id // 700) % 6 AS INT) + 1] AS op,
+        |    ts, event_id
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 700 = 0),
+        |ix AS (
+        |  SELECT collection_id, op AS last_ix_op,
+        |    row_number() OVER (PARTITION BY collection_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ops WHERE op IN ('create_index', 'drop_index')),
+        |ld AS (
+        |  SELECT collection_id, op AS last_ld_op,
+        |    row_number() OVER (PARTITION BY collection_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ops WHERE op IN ('load_collection', 'release_collection')),
+        |g AS (
+        |  SELECT collection_id, count(*) AS n_ops,
+        |    CAST(max(ts) AS TIMESTAMP) AS last_op_ts,
+        |    count(*) FILTER (WHERE op = 'flush') AS n_flushes
+        |  FROM ops GROUP BY collection_id)
+        |SELECT g.collection_id,
+        |  coalesce(i.last_ix_op = 'create_index', FALSE) AS indexed,
+        |  coalesce(l.last_ld_op = 'load_collection', FALSE) AS loaded,
+        |  g.n_flushes, g.n_ops, g.last_op_ts
+        |FROM g
+        |LEFT JOIN (SELECT * FROM ix WHERE rn = 1) i ON g.collection_id = i.collection_id
+        |LEFT JOIN (SELECT * FROM ld WHERE rn = 1) l ON g.collection_id = l.collection_id""".stripMargin,
     "cdc_segment_stats" ->
       """SELECT CAST(user_id % 4 AS BIGINT) AS channel,
         |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS seg_day,

@@ -487,6 +487,82 @@ object Cdc {
         when(isDelete, deleteVal).otherwise(insertVal).as("kafka_value"))
   }
 
+  /** Position-store persistence as a queryable log — the reference persists
+    * per-(task, collection) positions keyed by channel to etcd/mysql
+    * (server/store/meta_op.go:97-130 UpdateTaskCollectionPosition: a map
+    * pChannelName → PositionInfo, last write wins per channel) and reloads
+    * them on restart (ReloadTask). Here the store IS a query: fold the
+    * position-save log to the latest persisted position per (collection,
+    * channel), then replay-from-log — pending = messages strictly after
+    * the saved position in (ts, event_id) order, exactly what a restarted
+    * task must re-consume.
+    *
+    * Save surrogates: every event_id % 100 == 0 message acks its own
+    * (ts, event_id) as the persisted position of its (collection, channel).
+    *
+    * Scale: the save fold is one shuffle on the composite key with map-side
+    * partials → collections × channels rows; the replay count joins that
+    * tiny frame back broadcast, so the stream is scanned once and never
+    * shuffled.
+    */
+  def positionLog(spark: SparkSession, dir: String): DataFrame = {
+    val NumCollections = 3
+    val ev = events(spark, dir)
+      .select(pmod(col("user_id"), lit(NumCollections)).as("collection_id"),
+        pmod(col("user_id"), lit(NumChannels)).as("channel"),
+        col("ts"), col("event_id"))
+    val saves = ev.filter(pmod(col("event_id"), lit(100)) === 0)
+      .groupBy(col("collection_id"), col("channel"))
+      .agg(count(lit(1)).as("n_saves"), max(struct(col("ts"), col("event_id"))).as("p"))
+      .select(col("collection_id"), col("channel"), col("n_saves"),
+        col("p.ts").as("pos_ts"), col("p.event_id").as("pos_event_id"))
+    ev.join(broadcast(saves), Seq("collection_id", "channel"))
+      .groupBy(col("collection_id"), col("channel"), col("n_saves"),
+        col("pos_ts"), col("pos_event_id"))
+      .agg(count(when(struct(col("ts"), col("event_id")) >
+        struct(col("pos_ts"), col("pos_event_id")), lit(1))).as("pending_after_reload"))
+  }
+
+  /** Op-message replication fold — the reference's writer dispatches ~22
+    * non-data message types beyond the 4 replicate-API events
+    * (core/writer/channel_writer.go:117-141 initOPMessageFuncs: index,
+    * load/release, flush, database, RBAC...). Folded here as replicated
+    * per-collection flags: indexed = last {create,drop}_index op is a
+    * create, loaded = last {load,release}_collection op is a load,
+    * n_flushes counts flush marks — applied in message order (ts,
+    * event_id), the channel order op messages arrive in.
+    *
+    * Op surrogates: purchase events at event_id % 700 == 0; k = event_id /
+    * 700 → collection `k % 3`, op `k % 6` cycling create_index /
+    * drop_index / load_collection / release_collection / flush /
+    * create_database.
+    *
+    * Scale: the op log is rare-event tiny; one groupBy with conditional
+    * struct-max partials — nothing stream-sized survives the scan.
+    */
+  def opMessages(spark: SparkSession, dir: String): DataFrame = {
+    val k = expr("event_id DIV 700")
+    val ops = events(spark, dir)
+      .filter(col("event_type") === "purchase" && pmod(col("event_id"), lit(700)) === 0)
+      .select(pmod(k, lit(3)).as("collection_id"),
+        element_at(array(lit("create_index"), lit("drop_index"),
+          lit("load_collection"), lit("release_collection"),
+          lit("flush"), lit("create_database")),
+          (pmod(k, lit(6)) + 1).cast("int")).as("op"),
+        col("ts"), col("event_id"))
+    val ord = struct(col("ts"), col("event_id"), col("op"))
+    ops.groupBy(col("collection_id"))
+      .agg(count(lit(1)).as("n_ops"),
+        max(col("ts")).as("last_op_ts"),
+        max(when(col("op").isin("create_index", "drop_index"), ord)).as("ix"),
+        max(when(col("op").isin("load_collection", "release_collection"), ord)).as("ld"),
+        count(when(col("op") === "flush", lit(1))).as("n_flushes"))
+      .select(col("collection_id"),
+        coalesce(col("ix.op") === "create_index", lit(false)).as("indexed"),
+        coalesce(col("ld.op") === "load_collection", lit(false)).as("loaded"),
+        col("n_flushes"), col("n_ops"), col("last_op_ts"))
+  }
+
   /** Replication lag per channel from a checkpoint: pending message count
     * and time distance between the last ack'd TS and the head TS.
     */

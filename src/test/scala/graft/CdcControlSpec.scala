@@ -90,6 +90,37 @@ class CdcControlSpec extends SparkSpec {
     }
   }
 
+  test("position_log: reload pending equals an independent replay count") {
+    val ev = Tables.events(spark, sfDir)
+      .select((col("user_id") % 3).as("coll"), (col("user_id") % 4).as("chan"),
+        col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000 +
+        r.getTimestamp(2).getNanos / 1000 % 1000, r.getLong(3)))
+    val out = Cdc.positionLog(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (coll, chan) = (r.getLong(0), r.getLong(1))
+      val posTs = r.getTimestamp(3)
+      val posMicros = posTs.getTime * 1000 + posTs.getNanos / 1000 % 1000
+      val posId = r.getLong(4)
+      assert(posId % 100 === 0, "a persisted position must be a save point")
+      val expectPending = ev.count { case (c, h, t, id) =>
+        c == coll && h == chan && (t > posMicros || (t == posMicros && id > posId))
+      }
+      assert(r.getLong(5) === expectPending.toLong,
+        s"($coll,$chan): reload must re-consume exactly the post-position tail")
+    }
+  }
+
+  test("op_messages folds index/load flags last-write-wins (sf0.01 markers)") {
+    val out = Cdc.opMessages(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty, "sf0.01 must contain op-message markers")
+    out.foreach { r =>
+      assert(r.getLong(4) >= r.getLong(3), "n_ops >= n_flushes")
+      assert(!r.isNullAt(1) && !r.isNullAt(2), "flags must never be null")
+    }
+  }
+
   test("kafka_format produces the reference's message shapes") {
     val out = Cdc.kafkaFormat(spark, sfDir).cache()
     val ev = Tables.events(spark, sfDir)
