@@ -126,6 +126,22 @@ class PlanAuditSpec extends SparkSpec {
       s"cluster edges must flow through minhash signatures + banding:\n$plan")
   }
 
+  test("cdc_position_log: saved positions join back broadcast; the stream is never shuffled for the replay count") {
+    val plan = planOf(Cdc.positionLog(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the tiny position frame must broadcast against the stream scan:\n$plan")
+  }
+
+  test("new control-plane folds partial-aggregate map-side") {
+    Seq(Cdc.ddlApply(spark, sfDir), Cdc.taskState(spark, sfDir),
+      Cdc.collectionWatermark(spark, sfDir), Cdc.opMessages(spark, sfDir))
+      .foreach { df =>
+        val plan = planOf(df)
+        assert(plan.contains("partial_"),
+          s"control-plane folds must combine map-side:\n$plan")
+      }
+  }
+
   test("registerAll exposes every table + the vector functions to spark.sql") {
     graft.Tables.registerAll(spark, sfDir)
     val r = spark.sql(

@@ -37,6 +37,38 @@ class ReferenceVectorsSpec extends SparkSpec {
       "barrier must wait for every channel")
   }
 
+  test("kafka formatter vector: {name,type,value} marshaling, insert=array / delete=object (kafka_formatter_test.go:71-89)") {
+    // The Go test formats an Int64 column through Format(): an InsertParam
+    // marshals as a JSON ARRAY of per-column KafkaFormat objects with field
+    // order name,type,value (kafka_formatter.go:30-34 struct tag order); a
+    // DeleteParam marshals the single PK column as ONE object. Rebuild the
+    // expected bytes exactly as Go's json.Marshal would and compare.
+    val out = Cdc.kafkaFormat(spark, sfDir).cache()
+    val ev = Tables.events(spark, sfDir)
+
+    val insId = out.filter(col("msg_type") === "insert")
+      .orderBy("event_id").limit(1).collect().head.getLong(0)
+    val row = ev.filter(col("event_id") === insId).collect().head
+    val uid = row.getAs[Long]("user_id")
+    val ts = row.getAs[java.sql.Timestamp]("ts")
+    val tso = (ts.getTime << 18) + insId % (1L << 18)
+    val expectedInsert =
+      s"""[{"name":"user_id","type":"Int64","value":$uid},""" +
+      s"""{"name":"event_id","type":"Int64","value":$insId},""" +
+      s"""{"name":"event_type","type":"VarChar","value":"${row.getAs[String]("event_type")}"},""" +
+      s"""{"name":"ts","type":"Int64","value":$tso}]"""
+    assert(out.filter(col("event_id") === insId).collect().head.getString(3)
+      === expectedInsert)
+
+    val delRow = out.filter(col("msg_type") === "delete")
+      .orderBy("event_id").limit(1).collect().head
+    val delUid = ev.filter(col("event_id") === delRow.getLong(0))
+      .collect().head.getAs[Long]("user_id")
+    assert(delRow.getString(3) ===
+      s"""{"name":"user_id","type":"Int64","value":$delUid}""")
+    out.unpersist()
+  }
+
   test("TSO compose vector: ComposeTS(physical, 0) shifts by 18 logical bits (server/cdc_impl.go:781)") {
     // tsoutil.ComposeTS(1732111898778, 0) — the value logged in
     // ts_manager_test.go:107 — must equal physical << 18.
