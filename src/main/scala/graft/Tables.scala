@@ -63,7 +63,17 @@ object Tables {
     * is a no-op (the condition is false) — it never adds a shuffle at scale.
     */
   def spread(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    // Decide from the optimizer's size estimate (a catalog/file-length
+    // lookup, already computed during planning) instead of touching df.rdd,
+    // which would force physical planning + RDD DAG construction per call.
+    // The scan yields ~size/maxPartitionBytes splits, so anything estimated
+    // under par × maxPartitionBytes would under-parallelize the downstream
+    // compute-heavy stage; at real data sizes the estimate is far larger
+    // and this is a no-op — it never adds a shuffle at scale.
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(par) * BigInt(maxSplit)) df.repartition(par) else df
   }
 }

@@ -22,6 +22,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Release the dedup suite's tracked caches — Verify is a long-lived
+    // session that has now run every dedup operator.
+    graft.operators.Dedup.clearCaches()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
