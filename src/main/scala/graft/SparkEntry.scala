@@ -81,6 +81,7 @@ object SparkEntry {
     "cdc_kafka_format" -> (graft.cdc.Cdc.kafkaFormat _),
     "cdc_position_log" -> (graft.cdc.Cdc.positionLog _),
     "cdc_op_messages" -> (graft.cdc.Cdc.opMessages _),
+    "stream_task_state" -> (graft.streaming.CdcStream.taskState _),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -732,6 +733,33 @@ object SparkEntry {
         |FROM g LEFT JOIN (SELECT * FROM cc WHERE rn = 1) c
         |  ON g.collection_id = c.collection_id""".stripMargin,
     "cdc_task_state" ->
+      """WITH ops AS (
+        |  SELECT CAST((event_id // 300) % 3 AS BIGINT) AS task_id,
+        |    ['create','pause','resume','delete'][CAST((event_id // 300) % 4 AS INT) + 1] AS op,
+        |    ts, event_id
+        |  FROM events WHERE event_type = 'click' AND event_id % 300 = 0),
+        |lastop AS (
+        |  SELECT task_id, op, ts,
+        |    row_number() OVER (PARTITION BY task_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ops),
+        |g AS (SELECT task_id, count(*) AS n_ops FROM ops GROUP BY task_id),
+        |pos AS (
+        |  SELECT channel, ts AS pos_ts, event_id AS pos_event_id FROM (
+        |    SELECT CAST(user_id % 4 AS BIGINT) AS channel, ts, event_id,
+        |      row_number() OVER (PARTITION BY user_id % 4
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t WHERE rn = 1)
+        |SELECT g.task_id,
+        |  CASE WHEN l.op = 'pause' THEN 'Paused'
+        |       WHEN l.op = 'delete' THEN 'Deleted'
+        |       ELSE 'Running' END AS state,
+        |  g.n_ops, l.op AS last_op, CAST(l.ts AS TIMESTAMP) AS last_op_ts,
+        |  CAST(p.pos_ts AS TIMESTAMP) AS pos_ts, p.pos_event_id
+        |FROM g JOIN (SELECT * FROM lastop WHERE rn = 1) l ON g.task_id = l.task_id
+        |JOIN pos p ON g.task_id = p.channel""".stripMargin,
+    // Streaming task fold ≡ the batch control-plane fold — shares its oracle.
+    "stream_task_state" ->
       """WITH ops AS (
         |  SELECT CAST((event_id // 300) % 3 AS BIGINT) AS task_id,
         |    ['create','pause','resume','delete'][CAST((event_id // 300) % 4 AS INT) + 1] AS op,

@@ -255,6 +255,66 @@ object CdcStream {
       .filter(col("rk") <= k)
   }
 
+  /** One task-control op (create/pause/resume/delete marker). */
+  case class TaskOp(task_id: Long, op: String, tsMicros: Long, event_id: Long)
+
+  /** Live task fold state: running argmax of (ts, event_id) + op count. */
+  case class TaskSt(ts: Long, id: Long, op: String, n: Long)
+
+  case class TaskRow(task_id: Long, n_ops: Long, last_op: String, lastMicros: Long)
+
+  private[graft] def foldTask(taskId: Long, ops: Iterator[TaskOp],
+      state: GroupState[TaskSt]): TaskRow = {
+    var s = state.getOption.getOrElse(TaskSt(Long.MinValue, Long.MinValue, "", 0L))
+    ops.foreach { o =>
+      // Arrival order within a microbatch is arbitrary — the fold is the
+      // order-independent argmax by (ts, event_id), same as the batch op.
+      if (o.tsMicros > s.ts || (o.tsMicros == s.ts && o.event_id > s.id))
+        s = TaskSt(o.tsMicros, o.event_id, o.op, s.n + 1)
+      else s = s.copy(n = s.n + 1)
+    }
+    state.update(s)
+    TaskRow(taskId, s.n, s.op, s.ts)
+  }
+
+  /** Live task control-plane state — the reference's server keeps task
+    * state in memory, updated per op and persisted through the meta store
+    * (server/cdc_impl.go task lifecycle over server/model/meta/task.go:29-43
+    * states); here the op stream folds into per-task state via
+    * `mapGroupsWithState` and the drained result joins the channel-head
+    * positions (stream-static, like [[vecSearch]]'s corpus). Answer ≡ the
+    * batch [[graft.cdc.Cdc.taskState]], which is the shared oracle.
+    *
+    * Scale: task-state cardinality is the number of tasks (tiny); the op
+    * stream is rare-event sparse, so each microbatch shuffles only its few
+    * markers to the task-keyed state partitions.
+    */
+  def taskState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ops: Dataset[TaskOp] = eventsStream(spark, dir)
+      .filter(col("event_type") === "click" && pmod(col("event_id"), lit(300)) === 0)
+      .select(pmod(expr("event_id DIV 300"), lit(3)).as("task_id"),
+        element_at(array(lit("create"), lit("pause"), lit("resume"), lit("delete")),
+          (pmod(expr("event_id DIV 300"), lit(4)) + 1).cast("int")).as("op"),
+        expr("ts DIV 1000").as("tsMicros"), col("event_id"))
+      .as[TaskOp]
+    val folded = ops.groupByKey(_.task_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(foldTask)
+    val positions = graft.Tables.events(spark, dir)
+      .groupBy(pmod(col("user_id"), lit(4)).as("channel"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("p"))
+    drain(folded.toDF(), "update")
+      .select(col("task_id"), col("n_ops"), col("last_op"),
+        timestamp_micros(col("lastMicros")).as("last_op_ts"))
+      .withColumn("state",
+        when(col("last_op") === "pause", "Paused")
+          .when(col("last_op") === "delete", "Deleted")
+          .otherwise("Running"))
+      .join(broadcast(positions), col("task_id") === col("channel"))
+      .select(col("task_id"), col("state"), col("n_ops"), col("last_op"),
+        col("last_op_ts"), col("p.ts").as("pos_ts"), col("p.event_id").as("pos_event_id"))
+  }
+
   /** Streaming replay dedup: the reader's skip-state over a re-delivered
     * tail (reference: core/reader/collection_reader.go:107-144) as a live
     * `dropDuplicates` — the replayed stream (full ∪ tail) is deduped on

@@ -12,7 +12,7 @@ class ContractSpec extends SparkSpec {
   }
 
   test("the operator inventory is complete and oracle-dominant") {
-    assert(SparkEntry.queries.size >= 67)
+    assert(SparkEntry.queries.size >= 70)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Only sketch/LSH internals may lack a value-level oracle.
     assert(noOracle.subsetOf(Set(
