@@ -563,6 +563,31 @@ object Cdc {
         col("n_flushes"), col("n_ops"), col("last_op_ts"))
   }
 
+  /** Virtual→physical channel name: strip the final `_suffix`
+    * (core/util/string.go:62-68 ToPhysicalChannel — everything before the
+    * LAST underscore; unchanged when no underscore). Columnar so channel
+    * mapping runs in-plan during replication, not row-at-a-time.
+    */
+  def toPhysicalChannel(vchannel: Column): Column =
+    regexp_replace(vchannel, "_[^_]*$", "")
+
+  /** Physical→virtual channel name (core/util/string.go:70-72 GetVChannel:
+    * `pchannel_markv0`).
+    */
+  def getVChannel(pchannel: Column, mark: Column): Column =
+    concat(pchannel, lit("_"), mark, lit("v0"))
+
+  /** Meta-store key layout for task info / per-collection positions
+    * (server/store/meta_key.go:35-49) — the key a position row persists
+    * under, so a lake-backed store can mirror the etcd/mysql layout.
+    */
+  def taskInfoKey(rootPath: Column, taskId: Column): Column =
+    concat(rootPath, lit("/task_info/"), taskId)
+
+  def taskPositionKey(rootPath: Column, taskId: Column, collectionId: Column): Column =
+    concat(rootPath, lit("/task_position/"), taskId, lit("/"),
+      collectionId.cast("string"))
+
   /** Replication lag per channel from a checkpoint: pending message count
     * and time distance between the last ack'd TS and the head TS.
     */

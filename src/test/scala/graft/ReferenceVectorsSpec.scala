@@ -69,6 +69,30 @@ class ReferenceVectorsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("channel-name vectors: ToPhysicalChannel / GetVChannel (core/util/string_test.go:44-50)") {
+    import spark.implicits._
+    // The Go test's exact cases: strip everything after the LAST underscore.
+    val cases = Seq("abc_" -> "abc", "abc_123" -> "abc", "abc_defgsg" -> "abc",
+      "abc___defgsg" -> "abc__", "abcdef" -> "abcdef")
+    val got = cases.map(_._1).toDF("v")
+      .select(col("v"), Cdc.toPhysicalChannel(col("v")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) === want, s"ToPhysicalChannel($in)") }
+    val v = Seq(("abc", "m")).toDF("p", "mark")
+      .select(Cdc.getVChannel(col("p"), col("mark"))).collect().head.getString(0)
+    assert(v === "abc_mv0")
+  }
+
+  test("meta-key vectors: task_info / task_position layout (server/store/meta_key_test.go:28-62)") {
+    import spark.implicits._
+    val r = Seq(("/root", "1234", 5678L)).toDF("root", "task", "coll")
+      .select(Cdc.taskInfoKey(col("root"), col("task")).as("ti"),
+        Cdc.taskPositionKey(col("root"), col("task"), col("coll")).as("tp"))
+      .collect().head
+    assert(r.getString(0) === "/root/task_info/1234")
+    assert(r.getString(1) === "/root/task_position/1234/5678")
+  }
+
   test("TSO compose vector: ComposeTS(physical, 0) shifts by 18 logical bits (server/cdc_impl.go:781)") {
     // tsoutil.ComposeTS(1732111898778, 0) — the value logged in
     // ts_manager_test.go:107 — must equal physical << 18.
