@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** (time_sec, status) per query, last-of-`repeat` runs reported — an
+    * erroring query must not silently bench as its failure-time: it is
+    * reported with status "error" and excluded from the headline total.
+    */
+  private[graft] def timeQueries(spark: SparkSession,
+      selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      sfDir: String, repeat: Int): Map[String, (Double, String)] =
+    selected.map { case (name, fn) =>
+      var last = 0.0
+      var status = "ok"
+      (1 to repeat).foreach { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); status = "ok" }
+        catch { case e: Throwable =>
+          status = "error"
+          System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
+        }
+        last = (System.nanoTime() - t0) / 1e9
+      }
+      name -> (last, status)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -29,23 +52,7 @@ object Bench {
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
     }
-    // (time_sec, status) per query — an erroring query must not silently
-    // bench as its failure-time: it is reported with status "error" and
-    // excluded from the headline total.
-    val results = selected.map { case (name, fn) =>
-      var last = 0.0
-      var status = "ok"
-      (1 to repeat).foreach { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); status = "ok" }
-        catch { case e: Throwable =>
-          status = "error"
-          System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
-        }
-        last = (System.nanoTime() - t0) / 1e9
-      }
-      name -> (last, status)
-    }
+    val results = timeQueries(spark, selected, sfDir, repeat)
     // Release the dedup suite's tracked caches (shingles, pair stats) —
     // Bench is a long-lived session once SPARK_GRAFT_REPEAT > 1.
     graft.operators.Dedup.clearCaches()

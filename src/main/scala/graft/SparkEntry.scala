@@ -302,6 +302,27 @@ object SparkEntry {
         |  round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) AS jaccard
         |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) >= 0.1""".stripMargin,
+    // LSH candidates are verified with EXACT Jaccard inside the operator,
+    // so its output equals the exact tau=0.5 pair set whenever banding
+    // recall is 1 — deterministic for fixed data and seeds, and measured
+    // missed=0 / extra=0 at every SF (tools/CheckLshRecall). The oracle is
+    // therefore the same exact-join SQL as dedup_ngram_jaccard at tau=0.5.
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) AS jaccard
+        |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) >= 0.5""".stripMargin,
     "vec_knn_bruteforce" ->
       """WITH n AS (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm

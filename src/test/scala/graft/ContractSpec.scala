@@ -14,10 +14,23 @@ class ContractSpec extends SparkSpec {
   test("the operator inventory is complete and oracle-dominant") {
     assert(SparkEntry.queries.size >= 70)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Only sketch/LSH internals may lack a value-level oracle.
+    // Only sketch/SimHash internals may lack a value-level oracle
+    // (dedup_minhash_lsh graduated: its exact-verify output is the exact
+    // tau=0.5 pair set, so it carries the exact-join oracle).
     assert(noOracle.subsetOf(Set(
-      "dedup_minhash_lsh", "dedup_simhash", "q_approx_distinct",
+      "dedup_simhash", "q_approx_distinct",
       "q_value_quantiles", "q_hll_merge")), s"unexpected rows-only ops: $noOracle")
+  }
+
+  test("bench marks a throwing query as error; healthy queries stay ok") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "good" -> ((s, _) => s.range(5).toDF()),
+      "bad" -> ((_, _) => throw new RuntimeException("boom")))
+    val r = Bench.timeQueries(spark, qs, sfDir, repeat = 2)
+    assert(r("good")._2 === "ok")
+    assert(r("bad")._2 === "error",
+      "a failing query must surface as error, never silently bench")
   }
 
   test("entry() returns rows (the driver's smoke check)") {
