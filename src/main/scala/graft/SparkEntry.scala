@@ -82,6 +82,7 @@ object SparkEntry {
     "cdc_position_log" -> (graft.cdc.Cdc.positionLog _),
     "cdc_op_messages" -> (graft.cdc.Cdc.opMessages _),
     "stream_task_state" -> (graft.streaming.CdcStream.taskState _),
+    "stream_kafka_format" -> (graft.streaming.CdcStream.kafkaFormat _),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -815,6 +816,20 @@ object SparkEntry {
         |    CAST(max(ts) AS TIMESTAMP) AS channel_max_ts, count(*) AS channel_cnt
         |  FROM events GROUP BY 1, 2) t""".stripMargin,
     "cdc_kafka_format" ->
+      """SELECT event_id, CAST(user_id % 4 AS BIGINT) AS channel,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS msg_type,
+        |  CASE WHEN event_type = 'error' THEN
+        |    '{"name":"user_id","type":"Int64","value":' || user_id || '}'
+        |  ELSE
+        |    '[{"name":"user_id","type":"Int64","value":' || user_id ||
+        |    '},{"name":"event_id","type":"Int64","value":' || event_id ||
+        |    '},{"name":"event_type","type":"VarChar","value":"' || event_type ||
+        |    '"},{"name":"ts","type":"Int64","value":' ||
+        |    ((epoch_ms(CAST(ts AS TIMESTAMP)) << 18) + (event_id % 262144)) || '}]'
+        |  END AS kafka_value
+        |FROM events""".stripMargin,
+    // Streaming serialization ≡ the batch formatter — shares its oracle.
+    "stream_kafka_format" ->
       """SELECT event_id, CAST(user_id % 4 AS BIGINT) AS channel,
         |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS msg_type,
         |  CASE WHEN event_type = 'error' THEN

@@ -469,7 +469,15 @@ object Cdc {
     * Scale: a pure narrow projection — zero shuffles; on a real pipeline
     * this is the serializer stage of the stream sink.
     */
-  def kafkaFormat(spark: SparkSession, dir: String): DataFrame = {
+  def kafkaFormat(spark: SparkSession, dir: String): DataFrame =
+    kafkaFormatProjection(events(spark, dir))
+
+  /** The formatter as a pure projection, shared by the batch op and the
+    * streaming sink path ([[graft.streaming.CdcStream.kafkaFormat]]) —
+    * exactly how the reference shares one formatter between replay and
+    * live tails.
+    */
+  private[graft] def kafkaFormatProjection(ev: DataFrame): DataFrame = {
     val logicalBits = 18
     val tso = (shiftleft(unix_millis(col("ts")), logicalBits) +
       pmod(col("event_id"), lit(1L << logicalBits))).cast("string")
@@ -481,10 +489,9 @@ object Cdc {
     val deleteVal = concat(
       lit("""{"name":"user_id","type":"Int64","value":"""), col("user_id").cast("string"),
       lit("}"))
-    events(spark, dir)
-      .select(col("event_id"), pmod(col("user_id"), lit(NumChannels)).as("channel"),
-        when(isDelete, lit("delete")).otherwise(lit("insert")).as("msg_type"),
-        when(isDelete, deleteVal).otherwise(insertVal).as("kafka_value"))
+    ev.select(col("event_id"), pmod(col("user_id"), lit(NumChannels)).as("channel"),
+      when(isDelete, lit("delete")).otherwise(lit("insert")).as("msg_type"),
+      when(isDelete, deleteVal).otherwise(insertVal).as("kafka_value"))
   }
 
   /** Position-store persistence as a queryable log — the reference persists

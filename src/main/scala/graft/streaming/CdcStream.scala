@@ -315,6 +315,25 @@ object CdcStream {
         col("last_op_ts"), col("p.ts").as("pos_ts"), col("p.event_id").as("pos_event_id"))
   }
 
+  /** Live Kafka-sink serialization — the writer's runtime path: each
+    * microbatch of the change stream is marshaled through the SAME
+    * formatter projection the batch op uses
+    * ([[graft.cdc.Cdc.kafkaFormatProjection]], mirroring
+    * core/writer/kafka_formatter.go shared between replay and live tails)
+    * and appended to the sink. Answer ≡ the batch [[graft.cdc.Cdc
+    * .kafkaFormat]], whose oracle it shares.
+    *
+    * Scale: stateless narrow projection per microbatch — throughput is the
+    * serializer alone; on a real pipeline the memory sink is the Kafka
+    * producer, one message per row keyed by channel.
+    */
+  def kafkaFormat(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(spark, dir)
+      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("user_id"), col("event_type"))
+    drain(graft.cdc.Cdc.kafkaFormatProjection(ev), "append")
+  }
+
   /** Streaming replay dedup: the reader's skip-state over a re-delivered
     * tail (reference: core/reader/collection_reader.go:107-144) as a live
     * `dropDuplicates` — the replayed stream (full ∪ tail) is deduped on
