@@ -83,6 +83,7 @@ object SparkEntry {
     "cdc_op_messages" -> (graft.cdc.Cdc.opMessages _),
     "stream_task_state" -> (graft.streaming.CdcStream.taskState _),
     "stream_kafka_format" -> (graft.streaming.CdcStream.kafkaFormat _),
+    "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -891,6 +892,58 @@ object SparkEntry {
         |FROM g
         |LEFT JOIN (SELECT * FROM ix WHERE rn = 1) i ON g.collection_id = i.collection_id
         |LEFT JOIN (SELECT * FROM ld WHERE rn = 1) l ON g.collection_id = l.collection_id""".stripMargin,
+    "pipeline_clean_corpus" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a),
+        |canon AS (
+        |  SELECT d.doc_id FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+        |  WHERE d.doc_id = coalesce(cc.cluster_id, d.doc_id)),
+        |tq AS (SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents),
+        |q AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  round(0.4 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk))
+        |      + 0.4 * (1.0 - CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','is'))) AS DOUBLE) / len(tk))
+        |      + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)), 4) AS score
+        |  FROM tq),
+        |s AS (SELECT doc_id,
+        |    CAST(len(list_filter(tk, x -> x IN ('the','a','and','of','is'))) AS BIGINT) AS s_en,
+        |    len(list_filter(tk, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+        |    len(list_filter(tk, x -> x IN ('el','los','las','y','es'))) AS s_es,
+        |    len(list_filter(tk, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+        |    len(list_filter(tk, x -> x IN ('de','shi','le','bu','wo'))) AS s_zh
+        |  FROM tq),
+        |l AS (SELECT doc_id,
+        |    CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+        |         ELSE 'zh' END AS guess
+        |  FROM s)
+        |SELECT c.doc_id, l.guess AS lang_guess, q.score, q.n_tokens
+        |FROM canon c JOIN q ON c.doc_id = q.doc_id JOIN l ON c.doc_id = l.doc_id
+        |WHERE q.score >= 0.72 AND l.guess <> 'und'""".stripMargin,
     "cdc_segment_stats" ->
       """SELECT CAST(user_id % 4 AS BIGINT) AS channel,
         |  CAST(date_trunc('day', ts) AS TIMESTAMP) AS seg_day,
