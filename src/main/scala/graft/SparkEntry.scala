@@ -826,7 +826,9 @@ object SparkEntry {
         |    '},{"name":"event_id","type":"Int64","value":' || event_id ||
         |    '},{"name":"event_type","type":"VarChar","value":"' || event_type ||
         |    '"},{"name":"ts","type":"Int64","value":' ||
-        |    ((epoch_ms(CAST(ts AS TIMESTAMP)) << 18) + (event_id % 262144)) || '}]'
+        |    ((epoch_ms(CAST(ts AS TIMESTAMP)) << 18) + (event_id % 262144)) ||
+        |    '},{"name":"props","type":"VarChar","value":"' ||
+        |    replace(props, '"', '\"') || '"}]'
         |  END AS kafka_value
         |FROM events""".stripMargin,
     // Streaming serialization ≡ the batch formatter — shares its oracle.
@@ -840,7 +842,9 @@ object SparkEntry {
         |    '},{"name":"event_id","type":"Int64","value":' || event_id ||
         |    '},{"name":"event_type","type":"VarChar","value":"' || event_type ||
         |    '"},{"name":"ts","type":"Int64","value":' ||
-        |    ((epoch_ms(CAST(ts AS TIMESTAMP)) << 18) + (event_id % 262144)) || '}]'
+        |    ((epoch_ms(CAST(ts AS TIMESTAMP)) << 18) + (event_id % 262144)) ||
+        |    '},{"name":"props","type":"VarChar","value":"' ||
+        |    replace(props, '"', '\"') || '"}]'
         |  END AS kafka_value
         |FROM events""".stripMargin,
     "cdc_position_log" ->

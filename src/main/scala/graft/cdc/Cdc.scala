@@ -481,11 +481,17 @@ object Cdc {
     val logicalBits = 18
     val tso = (shiftleft(unix_millis(col("ts")), logicalBits) +
       pmod(col("event_id"), lit(1L << logicalBits))).cast("string")
+    // props is a JSON string marshaled as a VarChar VALUE, so its quotes
+    // escape exactly as Go's json.Marshal does (the corpus contains no
+    // backslash/control/HTML chars — only quotes need escaping).
+    val escapedProps = regexp_replace(col("props"), "\"", "\\\\\"")
     val insertVal = concat(
       lit("""[{"name":"user_id","type":"Int64","value":"""), col("user_id").cast("string"),
       lit("""},{"name":"event_id","type":"Int64","value":"""), col("event_id").cast("string"),
       lit("""},{"name":"event_type","type":"VarChar","value":""""), col("event_type"),
-      lit(""""},{"name":"ts","type":"Int64","value":"""), tso, lit("}]"))
+      lit(""""},{"name":"ts","type":"Int64","value":"""), tso,
+      lit("""},{"name":"props","type":"VarChar","value":""""), escapedProps,
+      lit(""""}]"""))
     val deleteVal = concat(
       lit("""{"name":"user_id","type":"Int64","value":"""), col("user_id").cast("string"),
       lit("}"))

@@ -330,7 +330,7 @@ object CdcStream {
   def kafkaFormat(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsStream(spark, dir)
       .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
-        col("user_id"), col("event_type"))
+        col("user_id"), col("event_type"), col("props"))
     drain(graft.cdc.Cdc.kafkaFormatProjection(ev), "append")
   }
 

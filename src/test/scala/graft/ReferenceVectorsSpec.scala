@@ -52,11 +52,13 @@ class ReferenceVectorsSpec extends SparkSpec {
     val uid = row.getAs[Long]("user_id")
     val ts = row.getAs[java.sql.Timestamp]("ts")
     val tso = (ts.getTime << 18) + insId % (1L << 18)
+    val escapedProps = row.getAs[String]("props").replace("\"", "\\\"")
     val expectedInsert =
       s"""[{"name":"user_id","type":"Int64","value":$uid},""" +
       s"""{"name":"event_id","type":"Int64","value":$insId},""" +
       s"""{"name":"event_type","type":"VarChar","value":"${row.getAs[String]("event_type")}"},""" +
-      s"""{"name":"ts","type":"Int64","value":$tso}]"""
+      s"""{"name":"ts","type":"Int64","value":$tso},""" +
+      s"""{"name":"props","type":"VarChar","value":"$escapedProps"}]"""
     assert(out.filter(col("event_id") === insId).collect().head.getString(3)
       === expectedInsert)
 
