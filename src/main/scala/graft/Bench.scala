@@ -39,7 +39,9 @@ object Bench {
     // cluster sees, not first-run codegen-compile noise (±2× swings on
     // sub-second queries otherwise mask real regressions round-over-round).
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    // Clamp to >= 1: repeat=0 would skip every query yet report them all
+    // as ok/0.0s — a fake-perfect bench.
+    val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt)
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Warm up JIT + codegen caches on the smallest SF so the timed runs

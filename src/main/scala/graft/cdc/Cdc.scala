@@ -26,6 +26,12 @@ object Cdc {
   import graft.Tables.events
 
   val NumChannels = 4
+  // Control-plane surrogate cardinalities, shared by the batch ops, the
+  // streaming variants, and (by value) the oracle SQL: tasks map 1:1 onto
+  // their watched channel; collections are keyed coprime with the channel
+  // hash so each collection spans all channels.
+  val NumTasks = 3
+  val NumCollections = 3
   val Checkpoint = "2024-01-20"
 
   private def withChannel(df: DataFrame): Column = pmod(col("user_id"), lit(NumChannels))
@@ -349,7 +355,7 @@ object Cdc {
     val k = expr("ddl_id DIV 500")
     val ops = barrierTs(spark, dir)
       .select(col("ddl_id"), col("barrier_ts"),
-        pmod(k, lit(3)).as("collection_id"),
+        pmod(k, lit(NumCollections)).as("collection_id"),
         element_at(
           array(lit("create_collection"), lit("create_partition"),
             lit("drop_partition"), lit("drop_collection")),
@@ -402,7 +408,7 @@ object Cdc {
     val k = expr("event_id DIV 300")
     val opsLog = ev
       .filter(col("event_type") === "click" && pmod(col("event_id"), lit(300)) === 0)
-      .select(pmod(k, lit(3)).as("task_id"),
+      .select(pmod(k, lit(NumTasks)).as("task_id"),
         element_at(array(lit("create"), lit("pause"), lit("resume"), lit("delete")),
           (pmod(k, lit(4)) + 1).cast("int")).as("op"),
         col("ts"), col("event_id"))
@@ -443,8 +449,7 @@ object Cdc {
     * map-side partials → collections × channels rows; the per-collection
     * min is a window over those few rows, not the stream.
     */
-  def collectionWatermark(spark: SparkSession, dir: String): DataFrame = {
-    val NumCollections = 3
+  def collectionWatermark(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(pmod(col("user_id"), lit(NumCollections)).as("collection_id"),
         pmod(col("user_id"), lit(NumChannels)).as("channel"))
@@ -452,7 +457,6 @@ object Cdc {
       .withColumn("collection_watermark",
         min(col("channel_max_ts")).over(
           Window.partitionBy(col("collection_id"))))
-  }
 
   /** Kafka sink message format — the reference's Kafka downstream marshals
     * each change as JSON (core/writer/kafka_formatter.go:30-34 KafkaFormat
@@ -519,7 +523,6 @@ object Cdc {
     * shuffled.
     */
   def positionLog(spark: SparkSession, dir: String): DataFrame = {
-    val NumCollections = 3
     val ev = events(spark, dir)
       .select(pmod(col("user_id"), lit(NumCollections)).as("collection_id"),
         pmod(col("user_id"), lit(NumChannels)).as("channel"),
@@ -557,7 +560,7 @@ object Cdc {
     val k = expr("event_id DIV 700")
     val ops = events(spark, dir)
       .filter(col("event_type") === "purchase" && pmod(col("event_id"), lit(700)) === 0)
-      .select(pmod(k, lit(3)).as("collection_id"),
+      .select(pmod(k, lit(NumCollections)).as("collection_id"),
         element_at(array(lit("create_index"), lit("drop_index"),
           lit("load_collection"), lit("release_collection"),
           lit("flush"), lit("create_database")),

@@ -31,8 +31,10 @@ object Dedup {
   private def tracked(df: DataFrame): DataFrame = synchronized {
     // CacheManager dedups cache() by plan equality; dedup here too so a
     // long session doesn't accumulate duplicate references (and redundant
-    // unpersist calls on clear).
-    if (!trackedCaches.exists(_.queryExecution.logical == df.queryExecution.logical))
+    // unpersist calls on clear). sameResult on the ANALYZED plans — raw
+    // logical plans of separately-built identical frames differ by exprIds
+    // and would never match.
+    if (!trackedCaches.exists(_.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)))
       trackedCaches += df
     df.cache()
   }
@@ -143,11 +145,11 @@ object Dedup {
     * candidate pairs pay the verification join — this is the operator you
     * run at 100 TB where [[ngramJaccard]] cannot.
     */
-  def minhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
-    val docs = documents(spark, dir)
-    // Shingles feed both the signatures and the verification join — one
-    // cached copy (see shingles()) serves both.
-    val g = shingles(docs)
+  /** Banded candidate pairs (pre-verify) from a shingle frame — the real
+    * banding, also exposed to dev tooling (tools/ScalingReport) so its
+    * measurements can never drift from what [[minhashLsh]] executes.
+    */
+  private[graft] def bandedCandidates(g: DataFrame): DataFrame = {
     val sigs = minhashSignaturesFrom(g)
     val bandKey = (b: Int) =>
       xxhash64(lit(b) +: (0 until R).map(r => col(s"h${b * R + r}")): _*)
@@ -155,11 +157,19 @@ object Dedup {
       explode(array((0 until B).map(b => struct(lit(b).as("band"), bandKey(b).as("bk"))): _*))
         .as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bk"))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame = {
+    val docs = documents(spark, dir)
+    // Shingles feed both the signatures and the verification join — one
+    // cached copy (see shingles()) serves both.
+    val g = shingles(docs)
+    val cand = bandedCandidates(g)
     // Verify candidates with exact Jaccard over their (cached) shingle sets.
     val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     cand
@@ -199,15 +209,21 @@ object Dedup {
     */
   private[graft] def clusterEdges(spark: SparkSession, dir: String,
       tau: Double): DataFrame =
-    minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b"))
+    // The R=2/B=16 banding targets the τ≈0.5 knee; below it the candidate
+    // probability collapses (P = 1-(1-j²)^B ≈ 0.15 at j=0.1) and banding
+    // would silently drop true edges — but a sub-knee τ also means a
+    // near-quadratic OUTPUT, where the exact gram join is the correct
+    // tool, so route low-τ requests there instead of guessing.
+    if (tau >= 0.5) minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b"))
+    else ngramJaccard(spark, dir, tau).select(col("doc_a"), col("doc_b"))
 
   def clusters(spark: SparkSession, dir: String, tau: Double = 0.5,
       maxIter: Int = 20): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"))
     val pairs = clusterEdges(spark, dir, tau)
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+    val sym = tracked(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     // The loop runs ONLY over pair-involved vertices — isolated docs can
     // never change label and join back as singletons at the end. One Spark
     // job per iteration: the convergence count is the action that

@@ -121,7 +121,7 @@ object CdcStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(foldPk)
     val out = drain(folded.toDF(), "update")
     out
-      .select(col("user_id"), pmod(col("user_id"), lit(4)).cast("long").as("channel"),
+      .select(col("user_id"), pmod(col("user_id"), lit(graft.cdc.Cdc.NumChannels)).cast("long").as("channel"),
         when(col("lastUpsert") =!= Sentinel, timestamp_micros(col("lastUpsert"))).as("last_upsert_ts"),
         when(col("lastDelete") =!= Sentinel, timestamp_micros(col("lastDelete"))).as("last_delete_ts"),
         col("upserts"), col("deletes"))
@@ -148,7 +148,7 @@ object CdcStream {
     val folded = evs.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(foldPk)
     val q = folded.toDF()
-      .withColumn("channel", pmod(col("user_id"), lit(4)))
+      .withColumn("channel", pmod(col("user_id"), lit(graft.cdc.Cdc.NumChannels)))
       .writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -171,7 +171,7 @@ object CdcStream {
       .agg(max_by(
         struct(col("lastUpsert"), col("lastDelete"), col("upserts"), col("deletes")),
         col("batch_id")).as("m"))
-      .select(col("user_id"), pmod(col("user_id"), lit(4)).cast("long").as("channel"),
+      .select(col("user_id"), pmod(col("user_id"), lit(graft.cdc.Cdc.NumChannels)).cast("long").as("channel"),
         when(col("m.lastUpsert") =!= Sentinel, timestamp_micros(col("m.lastUpsert"))).as("last_upsert_ts"),
         when(col("m.lastDelete") =!= Sentinel, timestamp_micros(col("m.lastDelete"))).as("last_delete_ts"),
         col("m.upserts").as("upserts"), col("m.deletes").as("deletes"))
@@ -293,7 +293,7 @@ object CdcStream {
     import spark.implicits._
     val ops: Dataset[TaskOp] = eventsStream(spark, dir)
       .filter(col("event_type") === "click" && pmod(col("event_id"), lit(300)) === 0)
-      .select(pmod(expr("event_id DIV 300"), lit(3)).as("task_id"),
+      .select(pmod(expr("event_id DIV 300"), lit(graft.cdc.Cdc.NumTasks)).as("task_id"),
         element_at(array(lit("create"), lit("pause"), lit("resume"), lit("delete")),
           (pmod(expr("event_id DIV 300"), lit(4)) + 1).cast("int")).as("op"),
         expr("ts DIV 1000").as("tsMicros"), col("event_id"))
@@ -301,7 +301,7 @@ object CdcStream {
     val folded = ops.groupByKey(_.task_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(foldTask)
     val positions = graft.Tables.events(spark, dir)
-      .groupBy(pmod(col("user_id"), lit(4)).as("channel"))
+      .groupBy(pmod(col("user_id"), lit(graft.cdc.Cdc.NumChannels)).as("channel"))
       .agg(max(struct(col("ts"), col("event_id"))).as("p"))
     drain(folded.toDF(), "update")
       .select(col("task_id"), col("n_ops"), col("last_op"),
@@ -349,7 +349,7 @@ object CdcStream {
     val cp = "2024-01-20"
     def evs = eventsStream(spark, dir)
       .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
-        pmod(col("user_id"), lit(4)).cast("long").as("channel"))
+        pmod(col("user_id"), lit(graft.cdc.Cdc.NumChannels)).cast("long").as("channel"))
     val replayed = evs.unionAll(evs.filter(col("ts") > to_timestamp(lit(cp))))
     val deduped = replayed
       .withWatermark("ts", "1 hour")

@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Dedup
 
@@ -30,18 +30,10 @@ object ScalingReport {
       val nDocs = docs.count()
       val g = Dedup.testShingles(docs)
       val nGrams = g.count()
-      // LSH candidate pairs: distinct band-bucket collisions (pre-verify).
-      val sigs = Dedup.testSignatures(g)
-      val bandKey = (b: Int) =>
-        xxhash64(lit(b) +: (0 until 2).map(r => col(s"h${b * 2 + r}")): _*)
-      val bands = sigs.select(col("doc_id"),
-        explode(array((0 until 16).map(b =>
-          struct(lit(b).as("band"), bandKey(b).as("bk"))): _*)).as("e"))
-        .select(col("doc_id"), col("e.band"), col("e.bk"))
-      val (lshCand, _) = time(bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id"), col("y.doc_id")).distinct().count())
+      // LSH candidate pairs (pre-verify): the REAL banding via
+      // Dedup.bandedCandidates, so this report can't drift from the
+      // operator it measures.
+      val (lshCand, _) = time(Dedup.bandedCandidates(g).count())
       // Gram self-join pair volume (what the old cluster edges paid).
       val (gramPairs, _) = time(g.as("a").join(g.as("b"),
           col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))

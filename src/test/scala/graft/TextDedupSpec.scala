@@ -68,6 +68,20 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_clusters routes sub-knee tau to the exact edge path (recall safety)") {
+    // Below the R=2/B=16 banding knee (tau < 0.5) LSH candidate recall
+    // collapses, so clusterEdges must fall back to the exact gram join —
+    // every exact tau=0.1 pair still co-clusters.
+    val exact = Dedup.ngramJaccard(spark, sfDir, tau = 0.1).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(exact.nonEmpty, "sf0.001 must have tau=0.1 pairs for this test to bite")
+    val labels = Dedup.clusters(spark, sfDir, tau = 0.1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    exact.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"low-tau pair ($a,$b) split across clusters")
+    }
+  }
+
   test("dedup_clusters degenerates to all-singletons when no pair clears tau") {
     val rows = Dedup.clusters(spark, sfDir, tau = 1.01).collect()
     assert(rows.length == graft.Tables.documents(spark, sfDir).count())
