@@ -34,7 +34,6 @@ object Cdc {
   val NumCollections = 3
   val Checkpoint = "2024-01-20"
 
-  private def withChannel(df: DataFrame): Column = pmod(col("user_id"), lit(NumChannels))
   private def isDelete: Column = col("event_type") === "error"
 
   /** Per-PK insert/delete fold → alive rows, i.e. the reference's

@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only stage profiler for the LSH pipeline (not part of the contract). */
 object ProfileLsh {
