@@ -84,6 +84,7 @@ object SparkEntry {
     "stream_task_state" -> (graft.streaming.CdcStream.taskState _),
     "stream_kafka_format" -> (graft.streaming.CdcStream.kafkaFormat _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
+    "text_winnow_fingerprint" -> ((s, d) => Text.winnowFingerprint(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -495,6 +496,23 @@ object SparkEntry {
       """SELECT CAST(user_id % 4 AS BIGINT) AS channel,
         |  count(DISTINCT event_id) AS dedup_cnt
         |FROM events GROUP BY 1""".stripMargin,
+    "text_winnow_fingerprint" ->
+      """WITH g AS (SELECT doc_id,
+        |  list_transform(generate_series(1, greatest(0, length(text) - 4)),
+        |    i -> (ord(substr(text, CAST(i AS INT), 1)) * 923521
+        |        + ord(substr(text, CAST(i+1 AS INT), 1)) * 29791
+        |        + ord(substr(text, CAST(i+2 AS INT), 1)) * 961
+        |        + ord(substr(text, CAST(i+3 AS INT), 1)) * 31
+        |        + ord(substr(text, CAST(i+4 AS INT), 1))) % 33554432) AS gh
+        |  FROM documents),
+        |w AS (SELECT doc_id, gh,
+        |  list_distinct(list_transform(generate_series(1, greatest(0, len(gh) - 3)),
+        |    i -> list_min(gh[CAST(i AS INT):CAST(i+3 AS INT)]))) AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(len(gh) AS BIGINT) AS n_grams,
+        |  CAST(len(fps) AS BIGINT) AS n_fps,
+        |  coalesce(CAST(list_sum(fps) AS BIGINT), 0) AS fp_checksum
+        |FROM w""".stripMargin,
     "text_ngram_freq" ->
       """WITH toks AS (
         |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),

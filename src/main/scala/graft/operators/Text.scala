@@ -99,6 +99,46 @@ object Text {
         md5(normText(col("text")).cast("binary")).as("fp"),
         length(normText(col("text"))).cast("long").as("n_norm_chars"))
 
+  /** Rolling-hash (Rabin-Karp) char-k-gram fingerprints with WINNOWING
+    * (Schleimer et al., "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003): polynomial hash h(i) = Σ c_{i+j}·B^(k-1-j)
+    * mod M over each k-char window, then keep the minimum hash of every
+    * w-hash window — the selected minima are position-robust fingerprints
+    * (any shared substring of length ≥ k+w-1 guarantees a shared
+    * fingerprint), the standard contamination/overlap probe where
+    * [[fingerprint]]'s whole-doc md5 only catches exact matches.
+    *
+    * All arithmetic is exact 64-bit integer math (fold-with-mod ≡
+    * polynomial-mod by congruence; products bounded ≪ 2^63), so the DuckDB
+    * oracle restates it verbatim. Everything runs inside one codegen'd
+    * narrow projection per doc — no explode, no shuffle at any scale; the
+    * checksum is an order-independent fingerprint-set digest.
+    */
+  def winnowFingerprint(spark: SparkSession, dir: String, k: Int = 5,
+      w: Int = 4): DataFrame =
+    winnowFps(documents(spark, dir), k, w)
+      .select(col("doc_id"),
+        size(col("gh")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").as("fp_checksum"))
+
+  /** The (doc_id, gram hashes, selected fingerprints) frame — split out so
+    * the spec can assert the winnowing guarantee on constructed docs.
+    */
+  private[graft] def winnowFps(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val B = 31L
+    val M = 1L << 25
+    docs
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, greatest(0, length(text) - ${k - 1})),
+           |  i -> aggregate(sequence(0, ${k - 1}), CAST(0 AS BIGINT),
+           |         (acc, j) -> (acc * $B + ascii(substr(text, i + j, 1))) % $M))
+           |""".stripMargin).as("gh"))
+      .select(col("doc_id"), col("gh"), expr(
+        s"""array_distinct(transform(sequence(1, greatest(0, size(gh) - ${w - 1})),
+           |  i -> array_min(slice(gh, i, $w))))""".stripMargin).as("fps"))
+  }
+
   /** Corpus vocabulary stats: top-N word 3-grams by total frequency (NOT
     * per-doc distinct — frequency counts every occurrence). The standard
     * contamination / boilerplate probe a training-data pipeline runs over

@@ -12,7 +12,7 @@ class ContractSpec extends SparkSpec {
   }
 
   test("the operator inventory is complete and oracle-dominant") {
-    assert(SparkEntry.queries.size >= 72)
+    assert(SparkEntry.queries.size >= 73)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Only sketch/SimHash internals may lack a value-level oracle
     // (dedup_minhash_lsh graduated: its exact-verify output is the exact

@@ -4,6 +4,28 @@ import graft.operators.{Dedup, Text}
 
 class TextDedupSpec extends SparkSpec {
 
+  test("winnowing guarantee: a shared substring of length >= k+w-1 shares a fingerprint") {
+    import spark.implicits._
+    // Two docs sharing a 60-char middle chunk inside unrelated prefixes/
+    // suffixes: winnowing (Schleimer 2003, thm 1) guarantees at least one
+    // selected min-hash falls entirely inside any shared run of length
+    // k+w-1 = 8, so the fingerprint sets must intersect. A third unrelated
+    // doc should (with ~certainty on 25-bit hashes) share nothing.
+    val shared = "the quick brown fox jumps over the lazy dog again and again."
+    val docs = Seq(
+      (1L, s"AAAA unrelated prefix one $shared tail alpha"),
+      (2L, s"ZZZZ other beginning text $shared different ending"),
+      (3L, "completely disjoint content with no overlap whatsoever here 12345"))
+      .toDF("doc_id", "text")
+    val fps = Text.winnowFps(docs, k = 5, w = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared chunk must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint docs should share no fingerprints")
+    // Position robustness: the md5 whole-doc fingerprint sees docs 1 and 2
+    // as unrelated; winnowing is exactly the probe that still links them.
+  }
+
   test("text_token_count: ws_tokens <= re_tokens, all docs covered") {
     val rows = Text.tokenCount(spark, sfDir).collect()
     assert(rows.nonEmpty)
