@@ -45,4 +45,26 @@ object Sources {
     */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Write a change log as JSON lines — the wire format CDC streams
+    * commonly arrive in (one JSON object per change). Timestamps serialize
+    * as ISO-8601 with full microsecond precision so a JSON round trip is
+    * lossless for the CDC fold semantics.
+    */
+  def writeJsonLog(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
+
+  /** Read a JSON-lines change log with an EXPLICIT schema — never infer:
+    * schema inference scans the whole input once before the real job (a
+    * full extra pass at 100 TB) and can silently widen types between runs.
+    * Every downstream operator then works unchanged: the engine is
+    * source-format agnostic past the scan.
+    */
+  def readJsonLog(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .json(path)
 }
