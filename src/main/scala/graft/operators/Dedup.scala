@@ -197,15 +197,18 @@ object Dedup {
     * (Kiveris et al., "Connected Components in MapReduce", SoCC 2014).
     * `localCheckpoint` cuts lineage growth per iteration.
     */
-  /** Edge source for [[clusters]]: the banded-LSH candidate path, NOT the
-    * quadratic gram self-join — candidates stay ~linear, and the verify step
-    * inside [[minhashLsh]] re-checks exact Jaccard ≥ τ, so the edge set
-    * equals the exact τ-pair set whenever banding recall is 1
-    * (tools/CheckLshRecall measures missed=0, extra=0 at sf0.001/0.01/0.1
-    * for τ=0.5; at B=16/R=2 a missed pair needs all 16 bands to split a
-    * j ≥ 0.5 pair — P ≈ (1−j²)¹⁶ ≤ 1%). The recursive-CTE oracle stays the
-    * exact transitive closure. PlanAuditSpec pins this edge plan to the
-    * minhash path.
+  /** Edge source for [[clusters]], routed by τ. At or above the banding
+    * knee (τ ≥ 0.5) edges come from the banded-LSH candidate path —
+    * candidates stay ~linear, and the verify step inside [[minhashLsh]]
+    * re-checks exact Jaccard ≥ τ, so the edge set equals the exact τ-pair
+    * set whenever banding recall is 1 (tools/CheckLshRecall measures
+    * missed=0, extra=0 at sf0.001/0.01/0.1 for τ=0.5; at B=16/R=2 a missed
+    * pair needs all 16 bands to split a j ≥ 0.5 pair — P ≈ (1−j²)¹⁶ ≤ 1%).
+    * Below the knee banding recall collapses, so low-τ requests route to
+    * the exact gram join instead (see the inline note). The recursive-CTE
+    * oracle stays the exact transitive closure either way. PlanAuditSpec
+    * pins the τ=0.5 edge plan to the minhash path; TextDedupSpec pins
+    * low-τ recall.
     */
   private[graft] def clusterEdges(spark: SparkSession, dir: String,
       tau: Double): DataFrame =

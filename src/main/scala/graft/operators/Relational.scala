@@ -172,7 +172,7 @@ object Relational {
     */
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
     val byChannel = (c: Int) =>
-      count(when(pmod(col("user_id"), lit(4)) === c, lit(1))).as(s"ch$c")
+      count(when(pmod(col("user_id"), lit(graft.cdc.Cdc.NumChannels)) === c, lit(1))).as(s"ch$c")
     events(spark, dir)
       .groupBy(col("event_type"))
       .agg(byChannel(0), (1 until 4).map(byChannel) :+
@@ -186,7 +186,7 @@ object Relational {
     */
   def qRollup(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
-      .select(col("event_type"), pmod(col("user_id"), lit(4)).as("channel"), col("value"))
+      .select(col("event_type"), pmod(col("user_id"), lit(graft.cdc.Cdc.NumChannels)).as("channel"), col("value"))
       .rollup(col("event_type"), col("channel"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total_value"))
       .select(

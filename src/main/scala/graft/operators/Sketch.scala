@@ -59,7 +59,7 @@ object Sketch {
   def hllMerge(spark: SparkSession, dir: String, lgConfigK: Int = 12): DataFrame = {
     val ev = events(spark, dir)
     val perChannel = ev
-      .groupBy(pmod(col("user_id"), lit(4)).as("channel"))
+      .groupBy(pmod(col("user_id"), lit(graft.cdc.Cdc.NumChannels)).as("channel"))
       .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
     val merged = perChannel.agg(
       hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"),

@@ -128,15 +128,23 @@ object Text {
   private[graft] def winnowFps(docs: DataFrame, k: Int, w: Int): DataFrame = {
     val B = 31L
     val M = 1L << 25
+    // Short-input guards are load-bearing: Spark's sequence(a, b) counts
+    // DOWN when a > b, so an unguarded sequence(1, length-k+1) on a doc
+    // shorter than k yields [1, 0] — bogus grams, and a slice(gh, 0, w)
+    // crash one stage later. Empty arrays match the oracle's
+    // generate_series(1, 0) = [] semantics exactly.
     docs
       .select(col("doc_id"), expr(
-        s"""transform(sequence(1, greatest(0, length(text) - ${k - 1})),
+        s"""CASE WHEN length(text) < $k THEN CAST(array() AS ARRAY<BIGINT>)
+           |ELSE transform(sequence(1, length(text) - ${k - 1}),
            |  i -> aggregate(sequence(0, ${k - 1}), CAST(0 AS BIGINT),
            |         (acc, j) -> (acc * $B + ascii(substr(text, i + j, 1))) % $M))
-           |""".stripMargin).as("gh"))
+           |END""".stripMargin).as("gh"))
       .select(col("doc_id"), col("gh"), expr(
-        s"""array_distinct(transform(sequence(1, greatest(0, size(gh) - ${w - 1})),
-           |  i -> array_min(slice(gh, i, $w))))""".stripMargin).as("fps"))
+        s"""CASE WHEN size(gh) < $w THEN CAST(array() AS ARRAY<BIGINT>)
+           |ELSE array_distinct(transform(sequence(1, size(gh) - ${w - 1}),
+           |  i -> array_min(slice(gh, i, $w))))
+           |END""".stripMargin).as("fps"))
   }
 
   /** Corpus vocabulary stats: top-N word 3-grams by total frequency (NOT

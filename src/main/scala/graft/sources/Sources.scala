@@ -66,5 +66,9 @@ object Sources {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      // FAILFAST: the default PERMISSIVE mode turns a malformed line into
+      // an all-null row — a phantom change event silently entering the
+      // fold. A corrupt change log must fail loudly, not drift.
+      .option("mode", "FAILFAST")
       .json(path)
 }

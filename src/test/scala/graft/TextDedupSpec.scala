@@ -26,6 +26,20 @@ class TextDedupSpec extends SparkSpec {
     // as unrelated; winnowing is exactly the probe that still links them.
   }
 
+  test("winnowing short-input edge: docs shorter than k (or k+w-1) yield empty sets, not a crash") {
+    import spark.implicits._
+    // Spark's sequence(1, 0) counts DOWN to [1, 0]; unguarded, a short doc
+    // produced bogus grams and a slice(gh, 0, w) runtime crash. Empty
+    // arrays match the oracle's generate_series(1, 0) = [].
+    val docs = Seq((1L, "abc"), (2L, "abcdef"), (3L, "abcdefgh"))
+      .toDF("doc_id", "text")
+    val out = Text.winnowFps(docs, k = 5, w = 4).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1).size, r.getSeq[Long](2).size)).toMap
+    assert(out(1L) === ((0, 0)), "shorter than k: no grams, no fps")
+    assert(out(2L) === ((2, 0)), "k <= len < k+w-1: grams but no winnow window")
+    assert(out(3L) === ((4, 1)), "len = k+w-1: exactly one window, one fp")
+  }
+
   test("text_token_count: ws_tokens <= re_tokens, all docs covered") {
     val rows = Text.tokenCount(spark, sfDir).collect()
     assert(rows.nonEmpty)
