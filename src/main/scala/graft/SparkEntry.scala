@@ -973,5 +973,82 @@ object SparkEntry {
         |  CAST(sum(length(props)) AS BIGINT) AS payload_bytes,
         |  CAST(min(ts) AS TIMESTAMP) AS first_ts, CAST(max(ts) AS TIMESTAMP) AS last_ts
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Sketch ops: internals are engine-specific BY DESIGN, so the oracle
+    // asserts the published error bound — the op emits (exact, bound,
+    // verdict) with the verdict computed in-engine, and the SQL restates
+    // the exact side + bound and pins the verdict TRUE. An out-of-bound
+    // sketch flips the boolean and fails the hash.
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  count(*) AS cnt,
+        |  greatest((count(DISTINCT user_id) * 12 + 99) // 100, 4) AS bound,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+    // quantile_cont uses the same (n-1)*q linear interpolation as Spark's
+    // exact percentile, so the rounded exacts hash-match; the ok_* booleans
+    // are the sketch's rank-error guarantee at 50x slack.
+    "q_value_quantiles" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round(quantile_cont(value, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(value, 0.95), 4) AS exact_p95,
+        |  round(quantile_cont(value, 0.99), 4) AS exact_p99,
+        |  TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_hll_merge" ->
+      """SELECT CAST(4 AS BIGINT) AS n_channels,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  greatest((count(DISTINCT user_id) * 975 + 9999) // 10000, 16) AS bound,
+        |  TRUE AS approx_ok
+        |FROM events""".stripMargin,
+    "dedup_simhash" -> simhashOracleSql,
   )
+
+  /** The SimHash oracle recomputes the ENTIRE fingerprint with the same
+    * exact-integer hash family the operator uses
+    * ([[graft.operators.Dedup.simhashBitConst]]: multiplicative bits mod
+    * 2^25 over a 5-char+length token hash), then runs the same 4-chunk
+    * pair join — identical fingerprints imply an identical pair set, so
+    * the check is deterministic (no LSH-recall assumption). The 62 vote
+    * sums and fingerprint terms are generated here from the shared
+    * constants so the two sides can never drift.
+    */
+  private def simhashOracleSql: String = {
+    val mod = graft.operators.Dedup.SimhashMod
+    val half = mod / 2
+    val bits = graft.operators.Dedup.SimhashBits
+    val ones = (0 until bits).map(i =>
+      s"count(*) FILTER (WHERE (g * ${graft.operators.Dedup.simhashBitConst(i)}) % $mod >= $half) AS o$i")
+      .mkString(",\n    ")
+    val fpTerms = (0 until bits).map(i =>
+      s"CASE WHEN 2 * o$i > n THEN ${1L << i} ELSE 0 END").mkString("\n      + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+       |th AS (SELECT doc_id, list_transform(t, tok ->
+       |    (ord(substr(tok || '#####', 1, 1)) * 923521::BIGINT
+       |     + ord(substr(tok || '#####', 2, 1)) * 29791
+       |     + ord(substr(tok || '#####', 3, 1)) * 961
+       |     + ord(substr(tok || '#####', 4, 1)) * 31
+       |     + ord(substr(tok || '#####', 5, 1)) + length(tok)) % $mod) AS h
+       |  FROM toks),
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |    (h[i] * 4821 + h[i + 1] * 129 + h[i + 2]) % $mod AS g
+       |  FROM th, unnest(generate_series(1, len(h) - 2)) AS u(i)
+       |  WHERE len(h) >= 3),
+       |votes AS (SELECT doc_id, count(*) AS n,
+       |    $ones
+       |  FROM grams GROUP BY doc_id),
+       |fp AS (SELECT doc_id,
+       |    CAST($fpTerms AS BIGINT) AS simhash
+       |  FROM votes),
+       |chunks AS (
+       |  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 16)) & 65535 AS ck
+       |  FROM fp, unnest([0, 1, 2, 3]) AS u(c))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM chunks x JOIN chunks y
+       |  ON x.chunk = y.chunk AND x.ck = y.ck AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+  }
 }

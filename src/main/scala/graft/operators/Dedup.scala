@@ -132,6 +132,9 @@ object Dedup {
     minhashSignaturesFrom(shingles(docs))
 
   private[graft] def testShingles(docs: DataFrame): DataFrame = shingles(docs)
+
+  private[graft] def testSimhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    simhashFingerprints(documents(spark, dir))
   private[graft] def testSignatures(g: DataFrame): DataFrame = minhashSignaturesFrom(g)
 
   private def minhashSignaturesFrom(g: DataFrame): DataFrame =
@@ -257,32 +260,71 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
-  /** 64-bit SimHash per doc (Charikar, "Similarity estimation techniques
-    * from rounding algorithms", STOC 2002): the hashed shingle IS the
-    * per-gram hash; per-bit ones-counts summed in 64 partial-aggregating
-    * columns (map-side combine, no explode blowup; unconditional
-    * shift-and-mask — no branch per bit), fingerprint bit i set iff
-    * ones_i > n/2 (⟺ the ±1 vote sum is positive). Chunk-based pair
-    * search as in Manku et al., "Detecting near-duplicates for web
-    * crawling", WWW 2007.
+  /** SimHash hash-family constants. The per-gram hash and the 62 bit
+    * functions are EXPLICIT exact-integer formulas (multiplicative family
+    * mod 2²⁵, like [[Text.winnowFingerprint]]'s Rabin-Karp) rather than
+    * xxhash64, so the DuckDB oracle restates the whole fingerprint — and
+    * therefore the whole pair set — verbatim: the correctness check is
+    * deterministic, with no banding-recall assumption to go stale.
+    * 62 bits (not 64) keeps every `1 << i` within signed-64 range in both
+    * engines (DuckDB errors on BIGINT `1 << 63`). At 100 TB you'd widen the
+    * family (two 62-bit words) before you'd change its shape.
+    */
+  private[graft] val SimhashBits = 62
+  private[graft] val SimhashMod = 1L << 25
+  private val SimhashHalf = 1L << 24
+  private[graft] def simhashBitConst(i: Int): Long =
+    ((2654435761L * (i + 1)) % SimhashMod) | 1L
+
+  /** Token-3-gram hashes for SimHash: per-token 5-char+length polynomial
+    * hash (pad '#' so every position exists), grams combine three token
+    * hashes — all mod 2²⁵ so products stay in signed-64 in both engines.
+    */
+  private def simhashGrams(docs: DataFrame): DataFrame = {
+    val tokHash = (c: Column) => {
+      val p = concat(c, lit("#####"))
+      pmod(ascii(substring(p, 1, 1)) * lit(923521L) +
+        ascii(substring(p, 2, 1)) * lit(29791L) +
+        ascii(substring(p, 3, 1)) * lit(961L) +
+        ascii(substring(p, 4, 1)) * lit(31L) +
+        ascii(substring(p, 5, 1)) + length(c), lit(SimhashMod))
+    }
+    val th = col("th")
+    val grams = when(size(th) < 3, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(1), size(th) - 2),
+        i => pmod(element_at(th, i) * 4821 + element_at(th, i + 1) * 129 +
+          element_at(th, i + 2), lit(SimhashMod))))
+    tracked(graft.Tables.spread(docs)
+      .select(col("doc_id"), transform(toks(col("text")), tokHash).as("th"))
+      .select(col("doc_id"), explode(array_distinct(grams)).as("g")))
+  }
+
+  /** 62-bit SimHash per doc (Charikar, "Similarity estimation techniques
+    * from rounding algorithms", STOC 2002): bit i of gram g is the top bit
+    * of (g·C_i mod 2²⁵); per-bit ones-counts summed in 62
+    * partial-aggregating columns (map-side combine, no row blowup),
+    * fingerprint bit i set iff ones_i > n/2 (⟺ the ±1 vote sum is
+    * positive).
     */
   private[operators] def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val h = col("gh")
     val ones = (i: Int) =>
-      sum(shiftrightunsigned(h, i).bitwiseAND(1)).as(s"o$i")
-    val votes = shingles(docs)
+      count(when(pmod(col("g") * simhashBitConst(i), lit(SimhashMod)) >= SimhashHalf,
+        lit(1))).as(s"o$i")
+    val votes = simhashGrams(docs)
       .groupBy(col("doc_id"))
-      .agg(ones(0), (1 until 64).map(ones) :+ count(lit(1)).as("n"): _*)
-    val fp = (0 until 64)
+      .agg(ones(0), (1 until SimhashBits).map(ones) :+ count(lit(1)).as("n"): _*)
+    val fp = (0 until SimhashBits)
       .map(i => when(col(s"o$i") * 2 > col("n"), shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     votes.select(col("doc_id"), fp.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ k. Pigeonhole banding:
-    * 4 chunks of 16 bits — Hamming ≤ 3 ⇒ at least one chunk identical, so a
-    * chunk-equality bucket join finds all pairs without the quadratic
-    * cross-join. Scale: same linear-candidates posture as LSH.
+    * 4 chunks of ~16 bits — Hamming ≤ 3 ⇒ at least one chunk identical, so
+    * a chunk-equality bucket join finds all pairs without the quadratic
+    * cross-join. Scale: same linear-candidates posture as LSH; correctness
+    * is exact (the oracle recomputes identical fingerprints, see
+    * [[simhashBitConst]]).
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val fps = simhashFingerprints(documents(spark, dir))

@@ -1,23 +1,40 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sketch suite — the approximate answers that replace exact aggregation at
   * 100 TB. Exact distinct counts and exact percentiles need
   * memory-proportional state per group; HyperLogLog++ and the
   * percentile_approx quantile sketch are constant-space, mergeable
-  * (map-side combinable), and bounded-error. Both are spec-verified against
-  * their exact counterparts (no SQL oracle: sketch internals differ across
-  * engines by design).
+  * (map-side combinable), and bounded-error.
+  *
+  * Correctness contract: sketch INTERNALS differ across engines by design,
+  * so the value-level oracle asserts the published ERROR BOUND instead —
+  * each op emits its exact counterpart (recomputable in SQL) plus a boolean
+  * verdict `|estimate − exact| ≤ bound`, where the bound is a deterministic
+  * function of the exact value. The DuckDB oracle recomputes the exact side
+  * and states the verdict as TRUE: a sketch drifting outside its guarantee
+  * flips the boolean and fails the row hash. The estimates themselves stay
+  * available on the *Raw variants.
   */
 object Sketch {
   import graft.Tables.events
 
-  /** HLL++ distinct users per event type, with the exact count alongside —
-    * the spec bounds the relative error at the configured rsd.
+  /** 6-sigma relative HLL++ bound at rsd=0.02 (the configured standard
+    * error): P(miss) < 2e-9 per group. ceil(exact * 12%) in PURE INTEGER
+    * math — (n*12 + 99) div 100 — so Spark and the DuckDB oracle can never
+    * disagree on a float-rounding boundary. The small-count floor covers
+    * the sparse-mode regime where the relative bound rounds to ~0 but the
+    * estimator is integer-granular.
     */
-  def approxDistinct(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+  private def hllBound(exact: Column): Column =
+    greatest(((exact * 12 + 99) / 100).cast("long"), lit(4L))
+
+  /** HLL++ distinct users per event type with the exact count alongside —
+    * raw estimates, for consumers that want the sketch output itself.
+    */
+  def approxDistinctRaw(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
     events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
@@ -25,38 +42,67 @@ object Sketch {
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("cnt"))
 
-  /** Quantile sketch of `value` per event type (p50/p95/p99), exact
-    * percentiles alongside for the spec's error bound. `accuracy` trades
-    * memory for error exactly like a cluster deployment would tune it.
-    * Output is all-scalar columns (no arrays) so the driver's row-sorting
-    * compare can hash it.
+  /** Bound-asserting form: emits (exact, cnt, bound, approx_ok) where
+    * approx_ok ⟺ |approx − exact| ≤ bound — the oracle-checkable statement
+    * of the HLL++ guarantee.
     */
-  def valueQuantiles(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame = {
-    val qs = events(spark, dir)
+  def approxDistinct(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    approxDistinctRaw(spark, dir, rsd)
+      .select(col("event_type"), col("exact_users"), col("cnt"),
+        hllBound(col("exact_users")).as("bound"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          hllBound(col("exact_users"))).as("approx_ok"))
+
+  /** Rank-error bracket half-width for the quantile verdicts: the
+    * percentile_approx (KLL-style) guarantee is rank error ≤ 1/accuracy;
+    * 0.005 is 50× that at the default accuracy — slack for the sketch,
+    * still a tight statement (p50 must land inside the exact [p49.5, p50.5]
+    * value bracket).
+    */
+  private val QuantileEps = 0.005
+
+  /** Quantile sketch of `value` per event type (p50/p95/p99) with the exact
+    * interpolated percentiles AND the exact bracket endpoints at q ± eps in
+    * one exact-percentile pass. `accuracy` trades memory for error exactly
+    * like a cluster deployment would tune it.
+    */
+  def valueQuantilesRaw(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame = {
+    val qs = Seq(0.5, 0.95, 0.99)
+    val brackets = qs.flatMap(q => Seq(q - QuantileEps, q, q + QuantileEps))
+    val exactArr = s"percentile(value, array(${brackets.mkString(", ")}))"
+    events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
-          lit(accuracy)).as("aq"),
-        expr("percentile(value, array(0.5, 0.95, 0.99))").as("eq"),
+        percentile_approx(col("value"), array(qs.map(lit): _*), lit(accuracy)).as("aq"),
+        expr(exactArr).as("eq"),
         count(lit(1)).as("cnt"))
-    qs.select(
-      col("event_type"),
-      round(col("aq").getItem(0), 4).as("approx_p50"),
-      round(col("aq").getItem(1), 4).as("approx_p95"),
-      round(col("aq").getItem(2), 4).as("approx_p99"),
-      round(col("eq").getItem(0), 4).as("exact_p50"),
-      round(col("eq").getItem(1), 4).as("exact_p95"),
-      round(col("eq").getItem(2), 4).as("exact_p99"),
-      col("cnt"))
+  }
+
+  /** Bound-asserting form: per quantile q emits the exact value (rounded
+    * like every other double column) and ok_q ⟺ the sketch's answer lies in
+    * the exact [q−eps, q+eps] value bracket. The brackets are computed
+    * in-engine (no cross-engine float comparison); only exacts and booleans
+    * are emitted, so DuckDB restates them with quantile_cont — which uses
+    * the same (n−1)·q linear interpolation as Spark's percentile.
+    */
+  def valueQuantiles(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame = {
+    val base = valueQuantilesRaw(spark, dir, accuracy)
+    // eq layout: [q-eps, q, q+eps] per quantile, aq: one slot per quantile.
+    def ok(i: Int) = (col("aq").getItem(i) >= col("eq").getItem(3 * i) &&
+      col("aq").getItem(i) <= col("eq").getItem(3 * i + 2))
+    def exact(i: Int) = round(col("eq").getItem(3 * i + 1), 4)
+    base.select(
+      col("event_type"), col("cnt"),
+      exact(0).as("exact_p50"), exact(1).as("exact_p95"), exact(2).as("exact_p99"),
+      ok(0).as("ok_p50"), ok(1).as("ok_p95"), ok(2).as("ok_p99"))
   }
 
   /** Two-level mergeable distinct-count: per-channel DataSketches HLL
     * sketches, union-merged to one corpus-wide estimate — THE 100 TB
     * aggregation pattern (leaf sketches computed where the data lives, a
     * constant-size merge at the top; re-aggregation without re-scanning).
-    * Exact distinct alongside for the spec's error bound.
     */
-  def hllMerge(spark: SparkSession, dir: String, lgConfigK: Int = 12): DataFrame = {
+  def hllMergeRaw(spark: SparkSession, dir: String, lgConfigK: Int = 12): DataFrame = {
     val ev = events(spark, dir)
     val perChannel = ev
       .groupBy(pmod(col("user_id"), lit(graft.cdc.Cdc.NumChannels)).as("channel"))
@@ -65,5 +111,18 @@ object Sketch {
       hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("approx_users"),
       count(lit(1)).as("n_channels"))
     merged.crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
+  }
+
+  /** Bound-asserting form: 6-sigma of the lgK=12 union RSE
+    * (1.04/√2¹² ≈ 1.63% ⇒ 6σ < 10%); approx_ok ⟺ the merged estimate
+    * honors it against the exact distinct recomputed from the raw stream.
+    */
+  def hllMerge(spark: SparkSession, dir: String, lgConfigK: Int = 12): DataFrame = {
+    // 6 * 1.04/sqrt(2^12) = 9.75% — as integer math: ceil(n * 975 / 10000).
+    val bound = greatest(
+      ((col("exact_users") * 975 + 9999) / 10000).cast("long"), lit(16L))
+    hllMergeRaw(spark, dir, lgConfigK)
+      .select(col("n_channels"), col("exact_users"), bound.as("bound"),
+        (abs(col("approx_users") - col("exact_users")) <= bound).as("approx_ok"))
   }
 }

@@ -11,15 +11,14 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracleSql keys without a query: $orphans")
   }
 
-  test("the operator inventory is complete and oracle-dominant") {
+  test("the operator inventory is complete and every op carries an oracle") {
     assert(SparkEntry.queries.size >= 73)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // Only sketch/SimHash internals may lack a value-level oracle
-    // (dedup_minhash_lsh graduated: its exact-verify output is the exact
-    // tau=0.5 pair set, so it carries the exact-join oracle).
-    assert(noOracle.subsetOf(Set(
-      "dedup_simhash", "q_approx_distinct",
-      "q_value_quantiles", "q_hll_merge")), s"unexpected rows-only ops: $noOracle")
+    // Round 5 closed the last rows-only entries: the sketches assert their
+    // error bound as an oracle-checkable verdict, and dedup_simhash's hash
+    // family is exact-integer so the oracle recomputes its fingerprints
+    // verbatim. Nothing may regress to rows-only.
+    assert(noOracle.isEmpty, s"rows-only ops reappeared: $noOracle")
   }
 
   test("bench marks a throwing query as error; healthy queries stay ok") {

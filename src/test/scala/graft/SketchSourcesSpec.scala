@@ -8,7 +8,7 @@ import graft.sources.Sources
 class SketchSourcesSpec extends SparkSpec {
 
   test("approx_distinct stays within the configured relative error") {
-    val rows = Sketch.approxDistinct(spark, sfDir, rsd = 0.02).collect()
+    val rows = Sketch.approxDistinctRaw(spark, sfDir, rsd = 0.02).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val exact = r.getAs[Long]("exact_users").toDouble
@@ -16,15 +16,20 @@ class SketchSourcesSpec extends SparkSpec {
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
     }
+    // The oracle-facing verdict form must hold the same statement.
+    Sketch.approxDistinct(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Boolean]("approx_ok"), s"verdict false for $r")
+    }
   }
 
   test("hll merge: unioned per-channel sketches estimate the global distinct") {
-    val r = Sketch.hllMerge(spark, sfDir).collect().head
+    val r = Sketch.hllMergeRaw(spark, sfDir).collect().head
     val exact = r.getAs[Long]("exact_users").toDouble
     val approx = r.getAs[Long]("approx_users").toDouble
     assert(r.getAs[Long]("n_channels") == 4L)
     assert(math.abs(approx - exact) / exact <= 0.05,
       s"merged estimate $approx vs exact $exact")
+    assert(Sketch.hllMerge(spark, sfDir).collect().head.getAs[Boolean]("approx_ok"))
   }
 
   test("quantile sketch lands within a rank-neighborhood of each percentile") {
@@ -35,17 +40,22 @@ class SketchSourcesSpec extends SparkSpec {
     val lo = graft.Tables.events(spark, sfDir).groupBy(col("event_type"))
       .agg(expr("percentile(value, array(0.40, 0.85, 0.90))").as("lo"))
       .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
-    Sketch.valueQuantiles(spark, sfDir).collect().foreach { r =>
+    Sketch.valueQuantilesRaw(spark, sfDir).collect().foreach { r =>
       val et = r.getAs[String]("event_type")
-      val approx = Seq("approx_p50", "approx_p95", "approx_p99")
-        .map(c => r.getAs[Double](c))
-      val exactMax = r.getAs[Double]("exact_p99")
+      val approx = r.getSeq[Double](r.fieldIndex("aq"))
+      val exactMax = r.getSeq[Double](r.fieldIndex("eq")).last
       approx.zip(lo(et)).foreach { case (a, l) =>
         assert(a >= l, s"$et: approx $a below rank band floor $l")
       }
       assert(approx.last <= exactMax * 1.5 + 1e-6,
         s"$et: p99 sketch ${approx.last} wildly above exact tail $exactMax")
-      assert(approx.sameElements(approx.sorted), "quantiles must be monotone")
+      assert(approx == approx.sorted, "quantiles must be monotone")
+    }
+    // The oracle-facing verdict form: every bracket check must pass.
+    Sketch.valueQuantiles(spark, sfDir).collect().foreach { r =>
+      Seq("ok_p50", "ok_p95", "ok_p99").foreach { c =>
+        assert(r.getAs[Boolean](c), s"$c false for ${r.getAs[String]("event_type")}")
+      }
     }
   }
 
