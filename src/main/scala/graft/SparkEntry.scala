@@ -81,6 +81,7 @@ object SparkEntry {
     "cdc_kafka_format" -> (graft.cdc.Cdc.kafkaFormat _),
     "cdc_position_log" -> (graft.cdc.Cdc.positionLog _),
     "cdc_op_messages" -> (graft.cdc.Cdc.opMessages _),
+    "cdc_rbac_state" -> (graft.cdc.Cdc.rbacState _),
     "stream_task_state" -> (graft.streaming.CdcStream.taskState _),
     "stream_kafka_format" -> (graft.streaming.CdcStream.kafkaFormat _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
@@ -885,35 +886,70 @@ object SparkEntry {
         |FROM ev e JOIN latest l
         |  ON e.collection_id = l.collection_id AND e.channel = l.channel
         |GROUP BY ALL""".stripMargin,
+    // The op-log CTE (all 22 initOPMessageFuncs types + Import) is
+    // generated from the same Scala constants the operator uses — the
+    // name list and surrogate derivations can never drift.
     "cdc_op_messages" ->
-      """WITH ops AS (
-        |  SELECT CAST((event_id // 700) % 3 AS BIGINT) AS collection_id,
-        |    ['create_index','drop_index','load_collection','release_collection',
-        |     'flush','create_database'][CAST((event_id // 700) % 6 AS INT) + 1] AS op,
+      s"""WITH $opLogSql
+        |SELECT collection_id,
+        |  coalesce((max(ROW(ts, event_id, op))
+        |      FILTER (WHERE op IN ('create_index', 'drop_index')))[3]
+        |    = 'create_index', FALSE) AS indexed,
+        |  count(*) FILTER (WHERE op = 'alter_index') AS index_version,
+        |  coalesce((max(ROW(ts, event_id, op))
+        |      FILTER (WHERE op IN ('load_collection', 'release_collection')))[3]
+        |    = 'load_collection', FALSE) AS loaded,
+        |  coalesce((max(ROW(ts, event_id, op))
+        |      FILTER (WHERE op IN ('load_partitions', 'release_partitions')))[3]
+        |    = 'load_partitions', FALSE) AS partitions_loaded,
+        |  count(*) FILTER (WHERE op = 'flush') AS n_flushes,
+        |  count(*) FILTER (WHERE op = 'import') AS n_imports,
+        |  count(*) AS n_ops,
+        |  CAST(max(ts) AS TIMESTAMP) AS last_op_ts
+        |FROM ops
+        |WHERE op IN (${graft.cdc.Cdc.CollectionOpNames.map(n => s"'$n'").mkString(", ")})
+        |GROUP BY collection_id""".stripMargin,
+    "cdc_rbac_state" ->
+      s"""WITH $opLogSql,
+        |entities AS (
+        |  SELECT 'database' AS entity_kind, db_id AS entity_id,
+        |    CASE WHEN op = 'create_database' THEN 'up'
+        |         WHEN op = 'drop_database' THEN 'down' END AS life,
+        |    op = 'alter_database' AS bump, ts, event_id
+        |  FROM ops WHERE op IN ('create_database', 'drop_database', 'alter_database')
+        |  UNION ALL
+        |  SELECT 'credential', user_sid,
+        |    CASE WHEN op = 'create_credential' THEN 'up'
+        |         WHEN op = 'delete_credential' THEN 'down' END,
+        |    op = 'update_credential', ts, event_id
+        |  FROM ops WHERE op IN ('create_credential', 'delete_credential', 'update_credential')
+        |  UNION ALL
+        |  SELECT 'role', role_id,
+        |    CASE WHEN op = 'create_role' THEN 'up'
+        |         WHEN op = 'drop_role' THEN 'down' END,
+        |    op IN ('operate_user_role', 'operate_privilege', 'operate_privilege_v2'),
         |    ts, event_id
-        |  FROM events WHERE event_type = 'purchase' AND event_id % 700 = 0),
-        |ix AS (
-        |  SELECT collection_id, op AS last_ix_op,
-        |    row_number() OVER (PARTITION BY collection_id
-        |                       ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM ops WHERE op IN ('create_index', 'drop_index')),
-        |ld AS (
-        |  SELECT collection_id, op AS last_ld_op,
-        |    row_number() OVER (PARTITION BY collection_id
-        |                       ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM ops WHERE op IN ('load_collection', 'release_collection')),
-        |g AS (
-        |  SELECT collection_id, count(*) AS n_ops,
-        |    CAST(max(ts) AS TIMESTAMP) AS last_op_ts,
-        |    count(*) FILTER (WHERE op = 'flush') AS n_flushes
-        |  FROM ops GROUP BY collection_id)
-        |SELECT g.collection_id,
-        |  coalesce(i.last_ix_op = 'create_index', FALSE) AS indexed,
-        |  coalesce(l.last_ld_op = 'load_collection', FALSE) AS loaded,
-        |  g.n_flushes, g.n_ops, g.last_op_ts
-        |FROM g
-        |LEFT JOIN (SELECT * FROM ix WHERE rn = 1) i ON g.collection_id = i.collection_id
-        |LEFT JOIN (SELECT * FROM ld WHERE rn = 1) l ON g.collection_id = l.collection_id""".stripMargin,
+        |  FROM ops WHERE op IN ('create_role', 'drop_role', 'operate_user_role',
+        |                        'operate_privilege', 'operate_privilege_v2')
+        |  UNION ALL
+        |  SELECT 'privilege_group', group_id,
+        |    CASE WHEN op = 'create_privilege_group' THEN 'up'
+        |         WHEN op = 'drop_privilege_group' THEN 'down' END,
+        |    op = 'operate_privilege_group', ts, event_id
+        |  FROM ops WHERE op IN ('create_privilege_group', 'drop_privilege_group',
+        |                        'operate_privilege_group')
+        |  UNION ALL
+        |  SELECT 'user_role', user_sid * 4 + role_id,
+        |    CASE WHEN action = 'grant' THEN 'up' ELSE 'down' END,
+        |    FALSE, ts, event_id
+        |  FROM ops WHERE op = 'operate_user_role')
+        |SELECT entity_kind, entity_id,
+        |  coalesce((max(ROW(ts, event_id, life))
+        |      FILTER (WHERE life IS NOT NULL))[3] = 'up', FALSE) AS alive,
+        |  count(*) FILTER (WHERE bump) AS version,
+        |  count(*) AS n_ops,
+        |  CAST(max(ts) AS TIMESTAMP) AS last_op_ts
+        |FROM entities GROUP BY entity_kind, entity_id""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
@@ -1003,6 +1039,25 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
   )
+
+  /** Shared oracle CTE for the op-message log: name list and surrogate
+    * derivations generated from [[graft.cdc.Cdc.OpMessageNames]] —
+    * channel_writer.go's complete dispatch map as data.
+    */
+  private def opLogSql: String = {
+    val names = graft.cdc.Cdc.OpMessageNames.map(n => s"'$n'").mkString(", ")
+    s"""ops AS (
+       |  SELECT [$names][CAST((event_id // 137) % 23 AS INT) + 1] AS op,
+       |    CAST((event_id // 137) % 3 AS BIGINT) AS collection_id,
+       |    CAST((event_id // 137) % 2 AS BIGINT) AS db_id,
+       |    CAST((event_id // 137) % 5 AS BIGINT) AS user_sid,
+       |    CAST((event_id // 137) % 4 AS BIGINT) AS role_id,
+       |    CAST((event_id // 137) % 3 AS BIGINT) AS group_id,
+       |    CASE WHEN ((event_id // 137) // 23) % 2 = 0
+       |         THEN 'grant' ELSE 'revoke' END AS action,
+       |    ts, event_id
+       |  FROM events WHERE event_id % 137 = 0)""".stripMargin
+  }
 
   /** The SimHash oracle recomputes the ENTIRE fingerprint with the same
     * exact-integer hash family the operator uses

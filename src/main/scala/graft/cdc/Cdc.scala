@@ -538,44 +538,160 @@ object Cdc {
         struct(col("pos_ts"), col("pos_event_id")), lit(1))).as("pending_after_reload"))
   }
 
-  /** Op-message replication fold — the reference's writer dispatches ~22
-    * non-data message types beyond the 4 replicate-API events
-    * (core/writer/channel_writer.go:117-141 initOPMessageFuncs: index,
-    * load/release, flush, database, RBAC...). Folded here as replicated
-    * per-collection flags: indexed = last {create,drop}_index op is a
-    * create, loaded = last {load,release}_collection op is a load,
-    * n_flushes counts flush marks — applied in message order (ts,
-    * event_id), the channel order op messages arrive in.
+  /** The reference writer's COMPLETE non-data op surface: the 22
+    * initOPMessageFuncs types (core/writer/channel_writer.go:117-141 —
+    * database create/drop/alter, flush, index create/drop/alter,
+    * load/release for collections AND partitions, credential ×3, role ×2,
+    * user-role and privilege operates, privilege groups) plus Import
+    * (channel_writer.go:269-280). Index position IS the surrogate op code
+    * (k % 23); the oracle SQL regenerates its name list from this constant
+    * so the two sides can never drift.
+    */
+  private[graft] val OpMessageNames: Seq[String] = Seq(
+    "create_database", "drop_database", "alter_database",
+    "flush",
+    "create_index", "drop_index", "alter_index",
+    "load_collection", "release_collection",
+    "load_partitions", "release_partitions",
+    "create_credential", "delete_credential", "update_credential",
+    "create_role", "drop_role",
+    "operate_user_role",
+    "operate_privilege", "operate_privilege_v2",
+    "create_privilege_group", "drop_privilege_group", "operate_privilege_group",
+    "import")
+
+  /** Collection-scoped subset of [[OpMessageNames]] (what
+    * [[opMessages]] folds); the rest is the control/RBAC plane
+    * ([[rbacState]]).
+    */
+  private[graft] val CollectionOpNames: Seq[String] = Seq(
+    "flush", "create_index", "drop_index", "alter_index",
+    "load_collection", "release_collection",
+    "load_partitions", "release_partitions", "import")
+
+  /** Shared op-message log. Surrogates: every event_id % 137 == 0 message
+    * is an op marker (dense enough that all 23 types appear at sf ≥ 0.01);
+    * k = event_id / 137 → op `k % 23` cycling [[OpMessageNames]], scopes
+    * collection `k % 3`, database `k % 2`, credential user `k % 5`, role
+    * `k % 4`, privilege group `k % 3`; operate_* ops carry action
+    * grant/revoke by `(k / 23) % 2`.
+    */
+  private def opLog(spark: SparkSession, dir: String): DataFrame = {
+    val k = expr("event_id DIV 137")
+    events(spark, dir)
+      .filter(pmod(col("event_id"), lit(137)) === 0)
+      .select(
+        element_at(array(OpMessageNames.map(lit): _*),
+          (pmod(k, lit(OpMessageNames.size)) + 1).cast("int")).as("op"),
+        pmod(k, lit(NumCollections)).as("collection_id"),
+        pmod(k, lit(2)).as("db_id"),
+        pmod(k, lit(5)).as("user_sid"),
+        pmod(k, lit(4)).as("role_id"),
+        pmod(k, lit(NumCollections)).as("group_id"),
+        when(pmod(expr("(event_id DIV 137) DIV 23"), lit(2)) === 0, lit("grant"))
+          .otherwise(lit("revoke")).as("action"),
+        col("ts"), col("event_id"))
+  }
+
+  /** Op-message replication fold, collection scope — all 9
+    * collection-scoped op types folded as replicated flags: indexed /
+    * loaded / partitions_loaded are last-write-wins over their op family
+    * in message order (ts, event_id); alter_index bumps a version counter;
+    * flush and Import are counted — mirroring what the reference's
+    * opMessageFuncs apply to the downstream per collection.
     *
-    * Op surrogates: purchase events at event_id % 700 == 0; k = event_id /
-    * 700 → collection `k % 3`, op `k % 6` cycling create_index /
-    * drop_index / load_collection / release_collection / flush /
-    * create_database.
-    *
-    * Scale: the op log is rare-event tiny; one groupBy with conditional
-    * struct-max partials — nothing stream-sized survives the scan.
+    * Scale: the op log is rare-event tiny (pushed-down marker filter); one
+    * groupBy with conditional struct-max partials — nothing stream-sized
+    * survives the scan.
     */
   def opMessages(spark: SparkSession, dir: String): DataFrame = {
-    val k = expr("event_id DIV 700")
-    val ops = events(spark, dir)
-      .filter(col("event_type") === "purchase" && pmod(col("event_id"), lit(700)) === 0)
-      .select(pmod(k, lit(NumCollections)).as("collection_id"),
-        element_at(array(lit("create_index"), lit("drop_index"),
-          lit("load_collection"), lit("release_collection"),
-          lit("flush"), lit("create_database")),
-          (pmod(k, lit(6)) + 1).cast("int")).as("op"),
-        col("ts"), col("event_id"))
+    val ops = opLog(spark, dir).filter(col("op").isin(CollectionOpNames: _*))
     val ord = struct(col("ts"), col("event_id"), col("op"))
     ops.groupBy(col("collection_id"))
       .agg(count(lit(1)).as("n_ops"),
         max(col("ts")).as("last_op_ts"),
         max(when(col("op").isin("create_index", "drop_index"), ord)).as("ix"),
         max(when(col("op").isin("load_collection", "release_collection"), ord)).as("ld"),
-        count(when(col("op") === "flush", lit(1))).as("n_flushes"))
+        max(when(col("op").isin("load_partitions", "release_partitions"), ord)).as("lp"),
+        count(when(col("op") === "alter_index", lit(1))).as("index_version"),
+        count(when(col("op") === "flush", lit(1))).as("n_flushes"),
+        count(when(col("op") === "import", lit(1))).as("n_imports"))
       .select(col("collection_id"),
         coalesce(col("ix.op") === "create_index", lit(false)).as("indexed"),
+        col("index_version"),
         coalesce(col("ld.op") === "load_collection", lit(false)).as("loaded"),
-        col("n_flushes"), col("n_ops"), col("last_op_ts"))
+        coalesce(col("lp.op") === "load_partitions", lit(false)).as("partitions_loaded"),
+        col("n_flushes"), col("n_imports"), col("n_ops"), col("last_op_ts"))
+  }
+
+  /** RBAC / control-plane grant-set state — the database + credential +
+    * role + privilege ops the reference replicates
+    * (channel_writer.go:119-140: createDatabase…operatePrivilegeGroup)
+    * folded into live entity state: one row per (kind, id) with
+    * alive = last lifecycle op is a create/grant, version = count of
+    * in-place mutations (alter/update/operate), applied in message order.
+    * user-role grants are their own entity kind (operate_user_role both
+    * bumps the role's version and flips the (user, role) grant).
+    *
+    * Built SINGLE-PASS: each rare op row expands map-side into its ≤ 2
+    * entity contributions (array + filter + explode — no per-kind rescan
+    * of the stream), then ONE shuffle folds all kinds together. At 100 TB
+    * the op markers are a pushed-down sliver of the scan and the fold
+    * state is entities × kinds, i.e. constant.
+    */
+  def rbacState(spark: SparkSession, dir: String): DataFrame =
+    rbacStateFrom(opLog(spark, dir))
+
+  /** The grant-set fold on an arbitrary op log (op, db_id, user_sid,
+    * role_id, group_id, action, ts, event_id) — split out so specs can
+    * replay hand-built RBAC sequences.
+    */
+  private[graft] def rbacStateFrom(log: DataFrame): DataFrame = {
+    val op = col("op")
+    val nullLife = lit(null).cast("string")
+    def entity(kind: String, id: Column, life: Column, bump: Column) =
+      struct(lit(kind).as("kind"), id.as("id"), life.as("life"), bump.as("bump"))
+    val entries = array(
+      when(op.isin("create_database", "drop_database", "alter_database"),
+        entity("database", col("db_id"),
+          when(op === "create_database", "up").when(op === "drop_database", "down")
+            .otherwise(nullLife),
+          op === "alter_database")),
+      when(op.isin("create_credential", "delete_credential", "update_credential"),
+        entity("credential", col("user_sid"),
+          when(op === "create_credential", "up").when(op === "delete_credential", "down")
+            .otherwise(nullLife),
+          op === "update_credential")),
+      when(op.isin("create_role", "drop_role", "operate_user_role",
+          "operate_privilege", "operate_privilege_v2"),
+        entity("role", col("role_id"),
+          when(op === "create_role", "up").when(op === "drop_role", "down")
+            .otherwise(nullLife),
+          op.isin("operate_user_role", "operate_privilege", "operate_privilege_v2"))),
+      when(op.isin("create_privilege_group", "drop_privilege_group",
+          "operate_privilege_group"),
+        entity("privilege_group", col("group_id"),
+          when(op === "create_privilege_group", "up")
+            .when(op === "drop_privilege_group", "down").otherwise(nullLife),
+          op === "operate_privilege_group")),
+      when(op === "operate_user_role",
+        entity("user_role", col("user_sid") * 4 + col("role_id"),
+          when(col("action") === "grant", "up").otherwise("down"), lit(false))))
+    val unfolded = log
+      .select(explode(filter(entries, e => e.isNotNull)).as("e"),
+        col("ts"), col("event_id"))
+      .select(col("e.kind").as("entity_kind"), col("e.id").as("entity_id"),
+        col("e.life").as("life"), col("e.bump").as("bump"),
+        col("ts"), col("event_id"))
+    unfolded.groupBy(col("entity_kind"), col("entity_id"))
+      .agg(count(lit(1)).as("n_ops"),
+        max(col("ts")).as("last_op_ts"),
+        max(when(col("life").isNotNull,
+          struct(col("ts"), col("event_id"), col("life")))).as("lf"),
+        count(when(col("bump"), lit(1))).as("version"))
+      .select(col("entity_kind"), col("entity_id"),
+        coalesce(col("lf.life") === "up", lit(false)).as("alive"),
+        col("version"), col("n_ops"), col("last_op_ts"))
   }
 
   /** Virtual→physical channel name: strip the final `_suffix`

@@ -112,13 +112,59 @@ class CdcControlSpec extends SparkSpec {
     }
   }
 
-  test("op_messages folds index/load flags last-write-wins (sf0.01 markers)") {
+  test("op_messages folds index/load/partition flags last-write-wins (sf0.01 markers)") {
     val out = Cdc.opMessages(spark, "/root/testdata/sf0.01").collect()
     assert(out.nonEmpty, "sf0.01 must contain op-message markers")
     out.foreach { r =>
-      assert(r.getLong(4) >= r.getLong(3), "n_ops >= n_flushes")
-      assert(!r.isNullAt(1) && !r.isNullAt(2), "flags must never be null")
+      val (nFlushes, nImports, nOps) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(nOps >= nFlushes + nImports, "n_ops covers every collection-scoped op")
+      Seq(1, 3, 4).foreach(i => assert(!r.isNullAt(i), "flags must never be null"))
     }
+  }
+
+  test("op log covers the writer's full 23-type dispatch map at sf0.01") {
+    // channel_writer.go:117-141 (22 op types) + Import: the surrogate log
+    // must exercise every type so the folds are tested on live data.
+    val k = expr("event_id DIV 137")
+    val seen = Tables.events(spark, "/root/testdata/sf0.01")
+      .filter(pmod(col("event_id"), lit(137)) === 0)
+      .select(element_at(
+        array(Cdc.OpMessageNames.map(lit): _*), (pmod(k, lit(23)) + 1).cast("int")).as("op"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(seen === Cdc.OpMessageNames.toSet,
+      s"missing op types at sf0.01: ${Cdc.OpMessageNames.toSet -- seen}")
+  }
+
+  test("rbac_state folds lifecycle + grant ops last-write-wins") {
+    // credential 7: create → update (bump) → delete  ⇒ dead, version 1
+    // role 2: create, two privilege operates           ⇒ alive, version 2
+    // user_role (u=7, r=2): grant then revoke LATER    ⇒ dead
+    // database 1: create → alter → alter               ⇒ alive, version 2
+    val log = Seq(
+      ("create_credential", 0L, 7L, 0L, 0L, "grant", ts("2024-01-01 00:00:00"), 1L),
+      ("update_credential", 0L, 7L, 0L, 0L, "grant", ts("2024-01-02 00:00:00"), 2L),
+      ("delete_credential", 0L, 7L, 0L, 0L, "grant", ts("2024-01-03 00:00:00"), 3L),
+      ("create_role", 0L, 0L, 2L, 0L, "grant", ts("2024-01-01 00:00:00"), 4L),
+      ("operate_privilege", 0L, 0L, 2L, 0L, "grant", ts("2024-01-02 00:00:00"), 5L),
+      ("operate_privilege_v2", 0L, 0L, 2L, 0L, "grant", ts("2024-01-03 00:00:00"), 6L),
+      ("operate_user_role", 0L, 7L, 2L, 0L, "grant", ts("2024-01-04 00:00:00"), 7L),
+      ("operate_user_role", 0L, 7L, 2L, 0L, "revoke", ts("2024-01-05 00:00:00"), 8L),
+      ("create_database", 1L, 0L, 0L, 0L, "grant", ts("2024-01-01 00:00:00"), 9L),
+      ("alter_database", 1L, 0L, 0L, 0L, "grant", ts("2024-01-02 00:00:00"), 10L),
+      ("alter_database", 1L, 0L, 0L, 0L, "grant", ts("2024-01-03 00:00:00"), 11L))
+      .toDF("op", "db_id", "user_sid", "role_id", "group_id", "action", "ts", "event_id")
+    val out = Cdc.rbacStateFrom(log).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(out(("credential", 7L)).getBoolean(2) === false, "deleted credential is dead")
+    assert(out(("credential", 7L)).getLong(3) === 1L)   // one update
+    assert(out(("role", 2L)).getBoolean(2) === true)
+    assert(out(("role", 2L)).getLong(3) === 4L,
+      "role version counts user-role + privilege operates")
+    assert(out(("user_role", 7L * 4 + 2L)).getBoolean(2) === false,
+      "revoke after grant leaves the pair dead")
+    assert(out(("database", 1L)).getBoolean(2) === true)
+    assert(out(("database", 1L)).getLong(3) === 2L)     // two alters
+    assert(!out.contains(("privilege_group", 0L)), "no group ops in this log")
   }
 
   test("kafka_format produces the reference's message shapes") {
