@@ -82,6 +82,7 @@ object SparkEntry {
     "cdc_position_log" -> (graft.cdc.Cdc.positionLog _),
     "cdc_op_messages" -> (graft.cdc.Cdc.opMessages _),
     "cdc_rbac_state" -> (graft.cdc.Cdc.rbacState _),
+    "cdc_name_mapping" -> (graft.cdc.Cdc.nameMapping _),
     "stream_task_state" -> (graft.streaming.CdcStream.taskState _),
     "stream_kafka_format" -> (graft.streaming.CdcStream.kafkaFormat _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
@@ -886,6 +887,37 @@ object SparkEntry {
         |FROM ev e JOIN latest l
         |  ON e.collection_id = l.collection_id AND e.channel = l.channel
         |GROUP BY ALL""".stripMargin,
+    "cdc_name_mapping" ->
+      """WITH cw AS (
+        |  SELECT CAST(user_id % 3 AS BIGINT) AS collection_id,
+        |    CAST(user_id % 4 AS BIGINT) AS channel,
+        |    max(ts) AS channel_max_ts, count(*) AS channel_cnt
+        |  FROM events GROUP BY 1, 2),
+        |state AS (
+        |  SELECT collection_id,
+        |    CAST(min(channel_max_ts) AS TIMESTAMP) AS collection_watermark,
+        |    CAST(sum(channel_cnt) AS BIGINT) AS msgs
+        |  FROM cw GROUP BY collection_id),
+        |colls AS (
+        |  SELECT collection_id, CAST(collection_id % 3 AS BIGINT) AS task_id,
+        |    'src_db_' || (collection_id % 2) AS source_db,
+        |    'coll_' || collection_id AS source_collection,
+        |    collection_watermark, msgs
+        |  FROM state),
+        |exact(rule_src_db, rule_src_coll, rule_dst_db, rule_dst_coll) AS (
+        |  VALUES ('src_db_0', 'coll_0', 'dst_db_0', 'coll_0_replica')),
+        |wild(wild_src_db, wild_dst_db) AS (VALUES ('src_db_1', 'dst_db_1'))
+        |SELECT c.collection_id, c.task_id, c.source_db, c.source_collection,
+        |  coalesce(e.rule_dst_db, w.wild_dst_db, c.source_db) AS target_db,
+        |  coalesce(e.rule_dst_coll, c.source_collection) AS target_collection,
+        |  CASE WHEN e.rule_dst_db IS NOT NULL THEN 'exact'
+        |       WHEN w.wild_dst_db IS NOT NULL THEN 'db_wildcard'
+        |       ELSE 'none' END AS rule,
+        |  c.collection_watermark, c.msgs
+        |FROM colls c
+        |LEFT JOIN exact e ON c.source_db = e.rule_src_db
+        |  AND c.source_collection = e.rule_src_coll
+        |LEFT JOIN wild w ON c.source_db = w.wild_src_db""".stripMargin,
     // The op-log CTE (all 22 initOPMessageFuncs types + Import) is
     // generated from the same Scala constants the operator uses — the
     // name list and surrogate derivations can never drift.

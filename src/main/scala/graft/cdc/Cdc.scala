@@ -457,6 +457,72 @@ object Cdc {
         min(col("channel_max_ts")).over(
           Window.partitionBy(col("collection_id"))))
 
+  /** Name-mapping resolution as a broadcast join — the reference resolves
+    * each replicated message's (db, collection) through the task's
+    * NameMapping rules (core/writer/channel_writer.go:1208-1226
+    * mapDBAndCollectionName over server/model/common.go:83-87 NameMapping,
+    * wired from server/model/request/create.go:32): empty db defaults to
+    * "default" (core/util/milvus_client_resource.go:41), an exact
+    * `db.collection` rule remaps both names, a `db.*` wildcard remaps the
+    * db only, no rule keeps the source names. Exact beats wildcard
+    * (deterministic, where the reference's sync.Map iteration is
+    * first-match).
+    *
+    * Scale: the rule set is task metadata (tiny) — two broadcast left
+    * joins against the collection frame; the stream itself is never
+    * touched.
+    */
+  private[graft] def nameMappingResolve(colls: DataFrame, exactRules: DataFrame,
+      wildRules: DataFrame): DataFrame = {
+    val srcDb = when(col("source_db") === "", lit("default")).otherwise(col("source_db"))
+    colls
+      .withColumn("source_db", srcDb)
+      .join(broadcast(exactRules),
+        col("source_db") === col("rule_src_db") &&
+          col("source_collection") === col("rule_src_coll"), "left")
+      .join(broadcast(wildRules), col("source_db") === col("wild_src_db"), "left")
+      .withColumn("target_db",
+        coalesce(col("rule_dst_db"), col("wild_dst_db"), col("source_db")))
+      .withColumn("target_collection",
+        coalesce(col("rule_dst_coll"), col("source_collection")))
+      .withColumn("rule",
+        when(col("rule_dst_db").isNotNull, "exact")
+          .when(col("wild_dst_db").isNotNull, "db_wildcard")
+          .otherwise("none"))
+      .drop("rule_src_db", "rule_src_coll", "rule_dst_db", "rule_dst_coll",
+        "wild_src_db", "wild_dst_db")
+  }
+
+  /** Per-target-name replication state — joins the task's NameMapping
+    * rules to the per-collection watermark so "replicate source A as
+    * target B" state is queryable by TARGET name, the metadata question
+    * the reference's create-request mapping exists to answer.
+    *
+    * Surrogate naming: collection c lives in source db `src_db_{c % 2}` as
+    * `coll_{c}`, replicated by task `c % NumTasks`. The rule set exercises
+    * all three resolution branches: an exact rule for coll_0, a db
+    * wildcard for src_db_1 (collection 1), and no rule for collection 2.
+    */
+  def nameMapping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val state = collectionWatermark(spark, dir)
+      .groupBy(col("collection_id"))
+      .agg(min(col("channel_max_ts")).as("collection_watermark"),
+        sum(col("channel_cnt")).as("msgs"))
+    val colls = state.select(col("collection_id"),
+      pmod(col("collection_id"), lit(NumTasks)).as("task_id"),
+      concat(lit("src_db_"), pmod(col("collection_id"), lit(2)).cast("string")).as("source_db"),
+      concat(lit("coll_"), col("collection_id").cast("string")).as("source_collection"),
+      col("collection_watermark"), col("msgs"))
+    val exactRules = Seq(("src_db_0", "coll_0", "dst_db_0", "coll_0_replica"))
+      .toDF("rule_src_db", "rule_src_coll", "rule_dst_db", "rule_dst_coll")
+    val wildRules = Seq(("src_db_1", "dst_db_1")).toDF("wild_src_db", "wild_dst_db")
+    nameMappingResolve(colls, exactRules, wildRules)
+      .select(col("collection_id"), col("task_id"), col("source_db"),
+        col("source_collection"), col("target_db"), col("target_collection"),
+        col("rule"), col("collection_watermark"), col("msgs"))
+  }
+
   /** Kafka sink message format — the reference's Kafka downstream marshals
     * each change as JSON (core/writer/kafka_formatter.go:30-34 KafkaFormat
     * {name, type, value} per column; Format(): InsertParam → a JSON ARRAY of

@@ -106,6 +106,28 @@ class ReferenceVectorsSpec extends SparkSpec {
     assert(r >> 18 == 1732111898778L)
   }
 
+  test("name mapping vector: exact / db-wildcard / default-db resolution (channel_writer.go:1208-1226)") {
+    // mapDBAndCollectionName: "" db defaults to "default"
+    // (milvus_client_resource.go:41); an exact db.collection rule remaps
+    // both names; a db.* rule remaps the db only; otherwise unchanged.
+    import spark.implicits._
+    val colls = Seq(
+      ("", "users"),          // default-db + exact rule -> fully remapped
+      ("db1", "orders"),      // wildcard rule -> db remapped, name kept
+      ("db2", "events"))      // no rule -> unchanged
+      .toDF("source_db", "source_collection")
+    val exact = Seq(("default", "users", "backup", "users_replica"))
+      .toDF("rule_src_db", "rule_src_coll", "rule_dst_db", "rule_dst_coll")
+    val wild = Seq(("db1", "db1_replica")).toDF("wild_src_db", "wild_dst_db")
+    val out = Cdc.nameMappingResolve(colls, exact, wild).collect()
+      .map(r => r.getAs[String]("source_collection") ->
+        (r.getAs[String]("target_db"), r.getAs[String]("target_collection"),
+          r.getAs[String]("rule"))).toMap
+    assert(out("users") === (("backup", "users_replica", "exact")))
+    assert(out("orders") === (("db1_replica", "orders", "db_wildcard")))
+    assert(out("events") === (("db2", "events", "none")))
+  }
+
   test("ValidData vector: equal max insert/delete ts counts as alive (data_diff/main.go:160-175)") {
     // The Go ValidData check is insertTs >= deleteTs — a tie means the
     // upsert wins. Encode the tie case directly.
