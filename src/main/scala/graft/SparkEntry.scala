@@ -83,6 +83,7 @@ object SparkEntry {
     "cdc_op_messages" -> (graft.cdc.Cdc.opMessages _),
     "cdc_rbac_state" -> (graft.cdc.Cdc.rbacState _),
     "cdc_name_mapping" -> (graft.cdc.Cdc.nameMapping _),
+    "cdc_position_codec" -> (graft.cdc.Cdc.positionCodec _),
     "stream_task_state" -> (graft.streaming.CdcStream.taskState _),
     "stream_kafka_format" -> (graft.streaming.CdcStream.kafkaFormat _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
@@ -887,6 +888,42 @@ object SparkEntry {
         |FROM ev e JOIN latest l
         |  ON e.collection_id = l.collection_id AND e.channel = l.channel
         |GROUP BY ALL""".stripMargin,
+    // The codec oracle rebuilds the protobuf wire bytes (tag+len+payload,
+    // 9-byte varint TSO) with the same hex construction and states the
+    // decoded fields as the originals + roundtrip TRUE; Spark's side
+    // genuinely re-parses its own blob, so a broken encode OR decode
+    // flips a column and fails the hash.
+    "cdc_position_codec" ->
+      s"""WITH saves AS (
+        |  SELECT CAST(user_id % 3 AS BIGINT) AS collection_id,
+        |    CAST(user_id % 4 AS BIGINT) AS channel,
+        |    max(ROW(ts, event_id)) AS p
+        |  FROM events WHERE event_id % 100 = 0
+        |  GROUP BY 1, 2),
+        |pos AS (
+        |  SELECT collection_id, channel,
+        |    CAST(p[1] AS TIMESTAMP) AS pos_ts, p[2] AS pos_event_id,
+        |    'by-dev-rootcoord-dml_' || channel AS channel_name,
+        |    (epoch_ms(CAST(p[1] AS TIMESTAMP)) << 18) + (p[2] % 262144) AS tso
+        |  FROM saves),
+        |enc AS (
+        |  SELECT *,
+        |    '0A' || lpad(to_hex(length(channel_name)), 2, '0') || hex(channel_name)
+        |    || '1208' || lpad(to_hex(pos_event_id), 16, '0') || '20'
+        |    || ${(0 until 8).map(j =>
+               s"lpad(to_hex(((tso >> ${7 * j}) & 127) | 128), 2, '0')")
+               .mkString(" || ")}
+        |    || lpad(to_hex((tso >> 56) & 127), 2, '0') AS poshex
+        |  FROM pos)
+        |SELECT collection_id, channel,
+        |  CAST(channel % 3 AS BIGINT) AS task_id,
+        |  'cdc/task_position/' || (channel % 3) || '/' || collection_id AS store_key,
+        |  to_base64(unhex(poshex)) AS pos_b64,
+        |  channel_name AS decoded_channel_name,
+        |  pos_event_id AS decoded_event_id,
+        |  epoch_ms(pos_ts) AS decoded_phys_ms,
+        |  TRUE AS roundtrip_ok
+        |FROM enc""".stripMargin,
     "cdc_name_mapping" ->
       """WITH cw AS (
         |  SELECT CAST(user_id % 3 AS BIGINT) AS collection_id,

@@ -659,6 +659,68 @@ object Cdc {
         col("ts"), col("event_id"))
   }
 
+  /** Position blob codec — the reference persists/ships positions as
+    * base64(proto.Marshal(MsgPosition)) (core/util/string.go:105-127
+    * Base64MsgPosition / Base64DecodeMsgPosition, consumed at
+    * server/cdc_impl.go:490,544,1564-1568). MsgPosition is the public
+    * milvus msg proto: 1 channel_name (string), 2 msgID (bytes),
+    * 3 msgGroup (string, empty ⇒ omitted), 4 timestamp (uint64 TSO).
+    * Encoded COLUMNAR as protobuf wire bytes built by hex-string
+    * concatenation — tag 0A + len + name, tag 12 + 8-byte big-endian
+    * msgID, tag 20 + varint(TSO) (9 bytes: every TSO in range
+    * [2⁵⁶, 2⁶³), asserted in spec) — then base64'd; the DECODE side
+    * parses the blob back (unbase64 → hex → field slicing + varint fold)
+    * and roundtrip_ok pins decode∘encode = id on every persisted
+    * position. Store key joins the meta-store layout
+    * (server/store/meta_key.go:35-49, [[taskPositionKey]]); task
+    * surrogate = channel % NumTasks.
+    *
+    * Scale: a narrow projection over [[positionLog]]'s tiny save fold —
+    * collections × channels rows; zero additional shuffles.
+    */
+  def positionCodec(spark: SparkSession, dir: String): DataFrame = {
+    val logicalBits = 18
+    val saves = positionLog(spark, dir)
+      .select(col("collection_id"), col("channel"), col("pos_ts"), col("pos_event_id"))
+    val name = concat(lit("by-dev-rootcoord-dml_"), col("channel").cast("string"))
+    val tso = shiftleft(unix_millis(col("pos_ts")), logicalBits) +
+      pmod(col("pos_event_id"), lit(1L << logicalBits))
+    val varintHex = concat(
+      (0 until 8).map(j => lpad(hex(shiftright(col("tso"), 7 * j)
+        .bitwiseAND(lit(127L)).bitwiseOR(lit(128L))), 2, "0")) :+
+        lpad(hex(shiftright(col("tso"), 56).bitwiseAND(lit(127L))), 2, "0"): _*)
+    val enc = saves
+      .withColumn("channel_name", name).withColumn("tso", tso)
+      .withColumn("pos_b64", base64(unhex(concat(
+        lit("0A"), lpad(hex(length(col("channel_name"))), 2, "0"), hex(col("channel_name")),
+        lit("1208"), lpad(hex(col("pos_event_id")), 16, "0"),
+        lit("20"), varintHex))))
+    // Decode strictly from the blob: unbase64 → hex, then wire-format
+    // field slicing (name length is dynamic, hence Column.substr).
+    val h = hex(unbase64(col("pos_b64")))
+    val nameLen = conv(substring(h, 3, 2), 16, 10).cast("int")
+    val p1 = nameLen * 2 + lit(5) // position of the msgID tag "1208"
+    val decodedName = unhex(h.substr(lit(5), nameLen * 2)).cast("string")
+    val decodedId = conv(h.substr(p1 + 4, lit(16)), 16, 10).cast("long")
+    val decodedTso = (0 until 9).map(j =>
+      shiftleft(conv(h.substr(p1 + 22 + 2 * j, lit(2)), 16, 10).cast("long")
+        .bitwiseAND(lit(127L)), 7 * j)).reduce(_ + _)
+    enc
+      .withColumn("task_id", pmod(col("channel"), lit(NumTasks)))
+      .withColumn("store_key",
+        taskPositionKey(lit("cdc"), col("task_id").cast("string"), col("collection_id")))
+      .withColumn("decoded_channel_name", decodedName)
+      .withColumn("decoded_event_id", decodedId)
+      .withColumn("decoded_phys_ms", shiftright(decodedTso, logicalBits))
+      .withColumn("roundtrip_ok",
+        col("decoded_channel_name") === col("channel_name") &&
+          col("decoded_event_id") === col("pos_event_id") &&
+          col("decoded_phys_ms") === unix_millis(col("pos_ts")))
+      .select(col("collection_id"), col("channel"), col("task_id"), col("store_key"),
+        col("pos_b64"), col("decoded_channel_name"), col("decoded_event_id"),
+        col("decoded_phys_ms"), col("roundtrip_ok"))
+  }
+
   /** Op-message replication fold, collection scope — all 9
     * collection-scoped op types folded as replicated flags: indexed /
     * loaded / partitions_loaded are last-write-wins over their op family

@@ -167,6 +167,34 @@ class CdcControlSpec extends SparkSpec {
     assert(!out.contains(("privilege_group", 0L)), "no group ops in this log")
   }
 
+  test("position_codec: blob equals an independent protobuf encoder; roundtrip holds") {
+    val rows = Cdc.positionCodec(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("roundtrip_ok"), s"decode(encode(p)) != p for $r")
+      // The 9-byte varint layout assumes TSO in [2^56, 2^63) — true for
+      // any ms epoch after 1978 shifted by 18 logical bits.
+      val tso = (r.getAs[Long]("decoded_phys_ms") << 18)
+      assert(tso >= (1L << 56) && tso > 0, s"TSO $tso outside the 9-byte varint range")
+      // Independent imperative encoder (plain JVM bytes, no Spark/SQL):
+      // field 1 name, field 2 8-byte BE msgID, field 4 varint timestamp.
+      val name = r.getAs[String]("decoded_channel_name").getBytes("UTF-8")
+      val id = r.getAs[Long]("decoded_event_id")
+      val fullTso = tso + (id % (1L << 18))
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      bb += 0x0A.toByte += name.length.toByte ++= name
+      bb += 0x12.toByte += 8.toByte
+      (7 to 0 by -1).foreach(i => bb += ((id >>> (8 * i)) & 0xFF).toByte)
+      bb += 0x20.toByte
+      var v = fullTso
+      while ((v & ~0x7FL) != 0) { bb += ((v & 0x7F) | 0x80).toByte; v >>>= 7 }
+      bb += v.toByte
+      val expected = java.util.Base64.getEncoder.encodeToString(bb.toArray)
+      assert(r.getAs[String]("pos_b64") === expected,
+        "columnar encode must equal the imperative protobuf encoding byte-for-byte")
+    }
+  }
+
   test("kafka_format produces the reference's message shapes") {
     val out = Cdc.kafkaFormat(spark, sfDir).cache()
     val ev = Tables.events(spark, sfDir)
