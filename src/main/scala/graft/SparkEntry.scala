@@ -86,6 +86,7 @@ object SparkEntry {
     "cdc_position_codec" -> (graft.cdc.Cdc.positionCodec _),
     "stream_task_state" -> (graft.streaming.CdcStream.taskState _),
     "stream_kafka_format" -> (graft.streaming.CdcStream.kafkaFormat _),
+    "stream_collection_watermark" -> (graft.streaming.CdcStream.collectionWatermark _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "text_winnow_fingerprint" -> ((s, d) => Text.winnowFingerprint(s, d)),
   )
@@ -868,6 +869,15 @@ object SparkEntry {
         |    replace(props, '"', '\"') || '"}]'
         |  END AS kafka_value
         |FROM events""".stripMargin,
+    // Streaming fold ≡ the batch per-collection watermark — shares its oracle.
+    "stream_collection_watermark" ->
+      """SELECT collection_id, channel, channel_max_ts, channel_cnt,
+        |  min(channel_max_ts) OVER (PARTITION BY collection_id) AS collection_watermark
+        |FROM (
+        |  SELECT CAST(user_id % 3 AS BIGINT) AS collection_id,
+        |    CAST(user_id % 4 AS BIGINT) AS channel,
+        |    CAST(max(ts) AS TIMESTAMP) AS channel_max_ts, count(*) AS channel_cnt
+        |  FROM events GROUP BY 1, 2) t""".stripMargin,
     "cdc_position_log" ->
       """WITH ev AS (
         |  SELECT CAST(user_id % 3 AS BIGINT) AS collection_id,

@@ -109,6 +109,28 @@ object CdcStream {
     PkRow(userId, s.lastUpsert, s.lastDelete, s.upserts, s.deletes)
   }
 
+  /** Normalize an update-mode PK-fold sink to its FINAL per-key emission.
+    * An incremental source (maxFilesPerTrigger, a live queue) makes the
+    * memory sink hold one row per key PER MICROBATCH; the per-key event
+    * count (upserts + deletes) is strictly monotone across emissions, so a
+    * struct-max recovers exactly the last state — the drain is correct for
+    * any batch slicing, not just the single-batch file-source case.
+    */
+  private[graft] def pkRowsToSnapshot(out: DataFrame): DataFrame =
+    out.groupBy(col("user_id"))
+      .agg(max(struct((col("upserts") + col("deletes")).as("seq"),
+        col("lastUpsert"), col("lastDelete"),
+        col("upserts"), col("deletes"))).as("m"))
+      .select(col("user_id"),
+        pmod(col("user_id"), lit(graft.cdc.Cdc.NumChannels)).cast("long").as("channel"),
+        when(col("m.lastUpsert") =!= Sentinel, timestamp_micros(col("m.lastUpsert")))
+          .as("last_upsert_ts"),
+        when(col("m.lastDelete") =!= Sentinel, timestamp_micros(col("m.lastDelete")))
+          .as("last_delete_ts"),
+        col("m.upserts").as("upserts"), col("m.deletes").as("deletes"))
+      .filter(col("last_upsert_ts").isNotNull &&
+        (col("last_delete_ts").isNull || col("last_upsert_ts") >= col("last_delete_ts")))
+
   /** Live per-PK alive-state via mapGroupsWithState; answer ≡ the batch
     * snapshot, so it shares that oracle.
     */
@@ -119,14 +141,7 @@ object CdcStream {
       .as[Ev]
     val folded = evs.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(foldPk)
-    val out = drain(folded.toDF(), "update")
-    out
-      .select(col("user_id"), pmod(col("user_id"), lit(graft.cdc.Cdc.NumChannels)).cast("long").as("channel"),
-        when(col("lastUpsert") =!= Sentinel, timestamp_micros(col("lastUpsert"))).as("last_upsert_ts"),
-        when(col("lastDelete") =!= Sentinel, timestamp_micros(col("lastDelete"))).as("last_delete_ts"),
-        col("upserts"), col("deletes"))
-      .filter(col("last_upsert_ts").isNotNull &&
-        (col("last_delete_ts").isNull || col("last_upsert_ts") >= col("last_delete_ts")))
+    pkRowsToSnapshot(drain(folded.toDF(), "update"))
   }
 
   /** End-to-end replication: the live fold streamed into a parquet
@@ -303,9 +318,19 @@ object CdcStream {
     val positions = graft.Tables.events(spark, dir)
       .groupBy(pmod(col("user_id"), lit(graft.cdc.Cdc.NumChannels)).as("channel"))
       .agg(max(struct(col("ts"), col("event_id"))).as("p"))
-    drain(folded.toDF(), "update")
-      .select(col("task_id"), col("n_ops"), col("last_op"),
-        timestamp_micros(col("lastMicros")).as("last_op_ts"))
+    taskRowsToState(drain(folded.toDF(), "update"), positions)
+  }
+
+  /** Final-emission normalization + state mapping for the task fold sink —
+    * n_ops is strictly monotone per task, so the struct-max keeps only each
+    * task's last emission under any microbatch slicing (see
+    * [[pkRowsToSnapshot]]).
+    */
+  private[graft] def taskRowsToState(out: DataFrame, positions: DataFrame): DataFrame =
+    out.groupBy(col("task_id"))
+      .agg(max(struct(col("n_ops"), col("lastMicros"), col("last_op"))).as("m"))
+      .select(col("task_id"), col("m.n_ops").as("n_ops"), col("m.last_op").as("last_op"),
+        timestamp_micros(col("m.lastMicros")).as("last_op_ts"))
       .withColumn("state",
         when(col("last_op") === "pause", "Paused")
           .when(col("last_op") === "delete", "Deleted")
@@ -313,7 +338,6 @@ object CdcStream {
       .join(broadcast(positions), col("task_id") === col("channel"))
       .select(col("task_id"), col("state"), col("n_ops"), col("last_op"),
         col("last_op_ts"), col("p.ts").as("pos_ts"), col("p.event_id").as("pos_event_id"))
-  }
 
   /** Live Kafka-sink serialization — the writer's runtime path: each
     * microbatch of the change stream is marshaled through the SAME
@@ -345,6 +369,34 @@ object CdcStream {
     * the watermark passes (a replay can only re-deliver recent positions),
     * so state size tracks the replay horizon, not the stream history.
     */
+  /** Live multi-collection watermark — the reference's per-collection
+    * ts_manager is inherently a live component (core/reader/ts_manager.go
+    * instantiated per collection, min across that collection's channels);
+    * here the (collection, channel) maxes fold incrementally as a
+    * streaming aggregate (complete mode: the sink always holds the current
+    * fold, so the drain is multi-microbatch-safe by construction), and the
+    * per-collection min is a window over the drained few rows. Answer ≡
+    * the batch [[graft.cdc.Cdc.collectionWatermark]], whose oracle it
+    * shares.
+    *
+    * Scale: state is collections × channels running (max, count) pairs —
+    * constant-size — and each microbatch shuffles only its delta on the
+    * composite key with map-side partials.
+    */
+  def collectionWatermark(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = eventsStream(spark, dir)
+      .select(timestamp_micros(expr("ts DIV 1000")).as("ts"), col("user_id"))
+    val agg = ev.groupBy(
+        pmod(col("user_id"), lit(graft.cdc.Cdc.NumCollections)).cast("long")
+          .as("collection_id"),
+        pmod(col("user_id"), lit(graft.cdc.Cdc.NumChannels)).cast("long").as("channel"))
+      .agg(max(col("ts")).as("channel_max_ts"), count(lit(1)).as("channel_cnt"))
+    drain(agg, "complete")
+      .withColumn("collection_watermark",
+        min(col("channel_max_ts")).over(Window.partitionBy(col("collection_id"))))
+  }
+
   def replayDedup(spark: SparkSession, dir: String): DataFrame = {
     val cp = "2024-01-20"
     def evs = eventsStream(spark, dir)

@@ -39,6 +39,68 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(out(2L)._2 == 1L)
   }
 
+  test("update-mode drains stay correct when keys re-emit across microbatches") {
+    // Force the incremental-source regime the file drain never hits: the
+    // same PK emits in several microbatches, so the memory sink holds one
+    // row per key PER BATCH; pkRowsToSnapshot must keep only the final
+    // emission (tombstone wins here), for any batch slicing.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcStream.Ev]
+    val folded = input.toDS().groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(CdcStream.foldPk)
+    val q = folded.toDF().writeStream.format("memory")
+      .queryName("spec_multibatch_pk").outputMode("update").start()
+    input.addData(CdcStream.Ev(1L, 10L, "view"), CdcStream.Ev(2L, 5L, "click"))
+    q.processAllAvailable()
+    input.addData(CdcStream.Ev(1L, 20L, "view"), CdcStream.Ev(2L, 30L, "error"))
+    q.processAllAvailable()
+    input.addData(CdcStream.Ev(1L, 25L, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table("spec_multibatch_pk")
+    assert(sink.count() > sink.select("user_id").distinct().count(),
+      "test must actually produce multi-batch re-emissions")
+    val out = CdcStream.pkRowsToSnapshot(sink).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(out.keySet === Set(1L), "u2's delete@30 beats its upsert@5 - filtered out")
+    assert(out(1L).getAs[Long]("upserts") === 3L, "final emission, not an earlier one")
+  }
+
+  test("task drain keeps the last emission per task across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcStream.TaskOp]
+    val folded = input.toDS().groupByKey(_.task_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(CdcStream.foldTask)
+    val q = folded.toDF().writeStream.format("memory")
+      .queryName("spec_multibatch_task").outputMode("update").start()
+    input.addData(CdcStream.TaskOp(0L, "create", 10L, 1L))
+    q.processAllAvailable()
+    input.addData(CdcStream.TaskOp(0L, "pause", 20L, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val sink = spark.table("spec_multibatch_task")
+    assert(sink.count() === 2L, "one emission per batch")
+    val positions = Seq((0L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 9L))
+      .toDF("channel", "pts", "pid")
+      .select(col("channel"), struct(col("pts").as("ts"), col("pid").as("event_id")).as("p"))
+    val out = CdcStream.taskRowsToState(sink, positions).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("state") === "Paused")
+    assert(out.head.getAs[Long]("n_ops") === 2L)
+  }
+
+  test("stream_collection_watermark equals the batch fold (same oracle)") {
+    val live = CdcStream.collectionWatermark(spark, sfDir).collect()
+    val batch = graft.cdc.Cdc.collectionWatermark(spark, sfDir).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("collection_id"), r.getAs[Long]("channel"),
+        r.getAs[java.sql.Timestamp]("channel_max_ts"), r.getAs[Long]("channel_cnt"),
+        r.getAs[java.sql.Timestamp]("collection_watermark"))).toSet
+    assert(key(live) == key(batch))
+  }
+
   test("replicate: change-log sink folds back to the batch snapshot") {
     val sink = java.nio.file.Files.createTempDirectory("graft-replica").toString + "/log"
     CdcStream.replicate(spark, sfDir, sink)
