@@ -58,8 +58,11 @@ object Bench {
     // Release the dedup suite's tracked caches (shingles, pair stats) —
     // Bench is a long-lived session once SPARK_GRAFT_REPEAT > 1.
     graft.operators.Dedup.clearCaches()
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Errored queries get null, not their failure wall-time — the per-query
+    // map is self-describing even for a consumer that ignores `statuses`.
+    val qs = results.map { case (k, (v, s)) =>
+      s"\"" + k + "\":" + (if (s == "ok") v.toString else "null")
+    }.mkString("{", ",", "}")
     val st = results.map { case (k, (_, s)) => s"\"" + k + "\":\"" + s + "\"" }
       .mkString("{", ",", "}")
     val ok = results.filter { case (_, (_, s)) => s == "ok" }

@@ -850,7 +850,7 @@ object SparkEntry {
         |    '"},{"name":"ts","type":"Int64","value":' ||
         |    ((epoch_ms(CAST(ts AS TIMESTAMP)) << 18) + (event_id % 262144)) ||
         |    '},{"name":"props","type":"VarChar","value":"' ||
-        |    replace(props, '"', '\"') || '"}]'
+        |    replace(replace(props, '\', '\\'), '"', '\"') || '"}]'
         |  END AS kafka_value
         |FROM events""".stripMargin,
     // Streaming serialization ≡ the batch formatter — shares its oracle.
@@ -866,7 +866,7 @@ object SparkEntry {
         |    '"},{"name":"ts","type":"Int64","value":' ||
         |    ((epoch_ms(CAST(ts AS TIMESTAMP)) << 18) + (event_id % 262144)) ||
         |    '},{"name":"props","type":"VarChar","value":"' ||
-        |    replace(props, '"', '\"') || '"}]'
+        |    replace(replace(props, '\', '\\'), '"', '\"') || '"}]'
         |  END AS kafka_value
         |FROM events""".stripMargin,
     // Streaming fold ≡ the batch per-collection watermark — shares its oracle.

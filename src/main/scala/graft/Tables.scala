@@ -74,6 +74,14 @@ object Tables {
     // and this is a no-op — it never adds a shuffle at scale.
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < BigInt(par) * BigInt(maxSplit)) df.repartition(par) else df
+    // Frames without real stats (local relations, some non-file plans)
+    // report defaultSizeInBytes (Long.MaxValue) — that's "unknown", not
+    // "huge": fall back to the physical partition-count check there, so a
+    // tiny statless frame still gets spread. File scans (every production
+    // caller) never hit the fallback.
+    if (est >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
+      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    } else if (est < BigInt(par) * BigInt(maxSplit)) df.repartition(par)
+    else df
   }
 }

@@ -146,13 +146,37 @@ object Cdc {
   /** Barrier algebra on arbitrary (channel, ts) + (ddl_id, ddl_ts) frames —
     * exercised directly by the reference-vector spec
     * (data_barrier_test.go:33-64).
+    *
+    * First-crossing = a FORWARD as-of join (first event ts ≥ ddl_ts per
+    * (ddl, channel)), computed as union + per-channel descending-ts
+    * running min: at each probe row the running min over already-seen
+    * (i.e. ≥-ts) event rows is exactly min{event ts : ts ≥ ddl_ts}. The
+    * round-4 implementation was a broadcast range join — O(ddls × events),
+    * which the sf1 cross-check measured going quadratic in SF (0.27 s at
+    * sf0.1 → 7.1 s at 10×); this is O(n log n) and flat per row. Ties:
+    * events sort before probes at equal ts, so a message exactly at
+    * ddl_ts counts as crossed (data_barrier.go's ≥). The per-channel sort
+    * caps parallelism at numChannels — at 100 TB decompose it over ts
+    * buckets exactly like [[orderingAudit]]'s prefix-max (running min
+    * across bucket aggregates + within-bucket window).
     */
   private[graft] def barrierTsFrom(ch: DataFrame, ddls: DataFrame,
       numChannels: Int): DataFrame = {
-    val crossings = ch
-      .join(broadcast(ddls), col("ts") >= col("ddl_ts"))
-      .groupBy(col("ddl_id"), col("ddl_ts"), col("channel"))
-      .agg(min(col("ts")).as("first_crossing"))
+    val evTsType = ch.schema("ts").dataType
+    val ddlIdType = ddls.schema("ddl_id").dataType
+    val probes = ddls.crossJoin(ch.select(col("channel")).distinct())
+    val evU = ch.select(col("channel"), col("ts"), col("ts").as("ev_ts"),
+      lit(null).cast(ddlIdType).as("ddl_id"),
+      lit(null).cast(evTsType).as("ddl_ts"), lit(0).as("is_probe"))
+    val prU = probes.select(col("channel"), col("ddl_ts").as("ts"),
+      lit(null).cast(evTsType).as("ev_ts"),
+      col("ddl_id"), col("ddl_ts"), lit(1).as("is_probe"))
+    val w = Window.partitionBy(col("channel"))
+      .orderBy(col("ts").desc, col("is_probe").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val crossings = evU.unionAll(prU)
+      .withColumn("first_crossing", min(col("ev_ts")).over(w))
+      .filter(col("is_probe") === 1 && col("first_crossing").isNotNull)
     crossings.groupBy(col("ddl_id"), col("ddl_ts"))
       .agg(count(lit(1)).as("channels_crossed"),
         max(col("first_crossing")).as("barrier_ts"))
@@ -550,10 +574,13 @@ object Cdc {
     val logicalBits = 18
     val tso = (shiftleft(unix_millis(col("ts")), logicalBits) +
       pmod(col("event_id"), lit(1L << logicalBits))).cast("string")
-    // props is a JSON string marshaled as a VarChar VALUE, so its quotes
-    // escape exactly as Go's json.Marshal does (the corpus contains no
-    // backslash/control/HTML chars — only quotes need escaping).
-    val escapedProps = regexp_replace(col("props"), "\"", "\\\\\"")
+    // props is a JSON string marshaled as a VarChar VALUE, escaped as Go's
+    // json.Marshal does for the specials the corpus can carry: backslash
+    // FIRST (else it would re-escape the quote escapes), then quote.
+    // Control chars (\uXXXX forms) remain out of contract — asserted
+    // absent by the corpus, as documented in the oracle.
+    val escapedProps = regexp_replace(
+      regexp_replace(col("props"), "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
     val insertVal = concat(
       lit("""[{"name":"user_id","type":"Int64","value":"""), col("user_id").cast("string"),
       lit("""},{"name":"event_id","type":"Int64","value":"""), col("event_id").cast("string"),

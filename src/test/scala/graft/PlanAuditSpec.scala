@@ -157,6 +157,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(top.length == 5)
   }
 
+  test("skewed PK fold + join survive with AQE skew handling enabled") {
+    // A hot key 1000x the median is the shape that OOMs a fixed-partition
+    // shuffle at 100 TB. With AQE (+skew-join, +coalescing) the fold and
+    // the subsequent join must complete AND stay correct: AQE may split
+    // the hot partition, it must not split the hot KEY's aggregation.
+    import org.apache.spark.sql.functions._
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.get(k))
+    prev.foreach { case (k, _) => spark.conf.set(k, "true") }
+    try {
+      // 200k rows: key 0 holds 190k of them, keys 1..10000 get one each.
+      val skewed = spark.range(0, 200000).select(
+        when(col("id") < 190000, 0L).otherwise(col("id") % 10000 + 1).as("pk"),
+        col("id").as("ts"))
+      val fold = skewed.groupBy(col("pk"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("head"))
+      val dims = spark.range(0, 10001).select(col("id").as("pk"),
+        concat(lit("u"), col("id").cast("string")).as("name"))
+      val joined = fold.join(dims, "pk")
+      val hot = joined.filter(col("pk") === 0).collect()
+      assert(hot.length == 1 && hot.head.getAs[Long]("n") == 190000L,
+        "the hot key must aggregate to ONE row with the full count")
+      assert(joined.count() == fold.count(), "no dim row may be lost or duplicated")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("SQL surface: vec_dot/vec_l2norm/vec_cosine resolve and agree with the Scala API") {
     GraftFunctions.register(spark)
     graft.Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_audit")

@@ -106,6 +106,22 @@ class ReferenceVectorsSpec extends SparkSpec {
     assert(r >> 18 == 1732111898778L)
   }
 
+  test("kafka formatter escapes backslash then quote like Go json.Marshal") {
+    import spark.implicits._
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        7L, "view", 0.0, """k\v "q""""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Cdc.kafkaFormatProjection(ev).collect().head.getAs[String]("kafka_value")
+    // Go json.Marshal escapes backslash and quote: k\v "q  ->  k\\v \"q
+    assert(out.contains("""k\\v \"q\""""),
+      s"escaped props must appear JSON-escaped in the message, got: $out")
+    // The message must stay valid JSON: round-trip the props field.
+    val parsed = Seq(out).toDF("j")
+      .select(get_json_object(col("j"), "$[4].value").as("v"))
+      .collect().head.getString(0)
+    assert(parsed === """k\v "q"""", s"JSON round-trip must recover the raw props, got: $parsed")
+  }
+
   test("name mapping vector: exact / db-wildcard / default-db resolution (channel_writer.go:1208-1226)") {
     // mapDBAndCollectionName: "" db defaults to "default"
     // (milvus_client_resource.go:41); an exact db.collection rule remaps

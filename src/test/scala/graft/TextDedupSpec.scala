@@ -138,6 +138,20 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("LSH banding recall is exactly 1 at the tau=0.5 knee (CI gate)") {
+    // The graduated dedup_minhash_lsh / dedup_clusters oracles are valid
+    // only while banding recall is 1 — pin missed=0 AND extra=0 in CI so a
+    // corpus/seed/constant change can never silently invalidate them
+    // (tools/CheckLshRecall measures the same thing across all SFs).
+    val exact = Dedup.ngramJaccard(spark, sfDir, tau = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, sfDir, tau = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "the corpus must contain tau>=0.5 pairs for this gate to bite")
+    assert((exact -- lsh).isEmpty, s"banding MISSED pairs: ${exact -- lsh}")
+    assert((lsh -- exact).isEmpty, s"verify admitted EXTRA pairs: ${lsh -- exact}")
+  }
+
   test("simhash pairs are a subset of true near-dups (precision)") {
     val exact = Dedup.ngramJaccard(spark, sfDir, tau = 0.1).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
