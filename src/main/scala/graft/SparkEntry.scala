@@ -98,8 +98,8 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
@@ -108,7 +108,7 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_join_topk" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -120,7 +120,7 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     "q5_star_join" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -139,7 +139,7 @@ object SparkEntry {
         |  FROM orders) t
         |WHERE rk <= 3""".stripMargin,
     "q_scalar_filter" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+      """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational core — the scalar-query surface a Milvus user has (filtered
@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
 object Relational {
   import graft.Tables._
 
+  /** Order-independent money sum: per-row doubles cast to DECIMAL(28,6)
+    * before summing. Inputs are exact 2-decimal values and their products
+    * exact 4-decimal, so the double sits ~1e-11 from the true value while
+    * the 6-decimal rounding boundary is 5e-7 away - Spark and DuckDB cast
+    * identically, the decimal sum is exact (order-independent), and the
+    * final double round(_, 4) is unambiguous. Plain double sums drift in
+    * the 4th decimal once the sum reaches ~5e10 (caught by the 10x
+    * scale cross-check; summation order differs between Spark partials
+    * and DuckDB).
+    */
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(28,6)")).cast("double"), 4)
+
   /** Grouped aggregation with map-side partials (TPC-H Q1 shape).
     * Scale: one shuffle on the (tiny-cardinality) group key; partial
     * aggregation reduces each map task's output to a handful of rows.
@@ -24,8 +37,8 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -48,7 +61,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .select(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"), col("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
@@ -76,7 +89,7 @@ object Relational {
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
   }
 
   /** Top-k per group via salted two-phase windows. A single
@@ -116,7 +129,7 @@ object Relational {
         col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"))
 
   /** Exact distinct counting per group — two-phase (partial distinct
     * map-side under Spark's expand/agg planning).
