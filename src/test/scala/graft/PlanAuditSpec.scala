@@ -142,6 +142,29 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("cdc_rbac_state: single pass over the stream — one scan, one aggregation shuffle") {
+    val plan = planOf(Cdc.rbacState(spark, sfDir))
+    // One events scan (the per-kind entity expansion is a map-side
+    // explode, NOT five re-scans) and map-side partials on the fold.
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"the entity expansion must not rescan the stream per kind:\n$plan")
+    assert(plan.contains("partial_"), "the grant-set fold must combine map-side")
+    assert(plan.contains("Generate"), "entity contributions expand via explode")
+  }
+
+  test("cdc_name_mapping: rule tables broadcast; no stream-sized shuffle beyond the watermark fold") {
+    val plan = planOf(Cdc.nameMapping(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"both rule joins must broadcast (rules are task metadata):\n$plan")
+  }
+
+  test("cdc_position_codec: pure projection over the save fold — no extra exchanges") {
+    val codec = planOf(Cdc.positionCodec(spark, sfDir))
+    val log = planOf(Cdc.positionLog(spark, sfDir))
+    assert(exchanges(codec) <= exchanges(log),
+      s"the codec must add zero shuffles over positionLog:\n$codec")
+  }
+
   test("registerAll exposes every table + the vector functions to spark.sql") {
     graft.Tables.registerAll(spark, sfDir)
     val r = spark.sql(
