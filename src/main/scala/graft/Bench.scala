@@ -58,6 +58,7 @@ object Bench {
     // Release the dedup suite's tracked caches (shingles, pair stats) —
     // Bench is a long-lived session once SPARK_GRAFT_REPEAT > 1.
     graft.operators.Dedup.clearCaches()
+    graft.operators.Text.clearCaches()
     // Errored queries get null, not their failure wall-time — the per-query
     // map is self-describing even for a consumer that ignores `statuses`.
     val qs = results.map { case (k, (v, s)) =>

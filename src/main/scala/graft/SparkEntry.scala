@@ -89,6 +89,7 @@ object SparkEntry {
     "stream_collection_watermark" -> (graft.streaming.CdcStream.collectionWatermark _),
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "text_winnow_fingerprint" -> ((s, d) => Text.winnowFingerprint(s, d)),
+    "text_contamination" -> ((s, d) => Text.contamination(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -517,6 +518,7 @@ object SparkEntry {
         |  CAST(len(fps) AS BIGINT) AS n_fps,
         |  coalesce(CAST(list_sum(fps) AS BIGINT), 0) AS fp_checksum
         |FROM w""".stripMargin,
+    "text_contamination" -> contaminationOracleSql,
     "text_ngram_freq" ->
       """WITH toks AS (
         |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
@@ -1118,6 +1120,38 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
   )
+
+  /** Contamination oracle: the k=12 winnow restated with unrolled Horner
+    * coefficients 31^(k-1-j) mod 2^25 (congruent to the operator's
+    * fold-with-mod), then the df-capped fingerprint pair join. Generated
+    * from the same constants as the operator so the sides cannot drift.
+    */
+  private def contaminationOracleSql: String = {
+    val (k, w, minShared, maxDf) = (12, 8, 3, 20)
+    val mod = 1L << 25
+    val terms = (0 until k).map(j =>
+      s"ord(substr(text, CAST(i+$j AS INT), 1)) * ${BigInt(31).modPow(BigInt(k - 1 - j), BigInt(mod))}::BIGINT")
+      .mkString("\n        + ")
+    s"""WITH g AS (SELECT doc_id,
+       |  list_transform(generate_series(1, greatest(0, length(text) - ${k - 1})),
+       |    i -> ($terms) % $mod) AS gh
+       |  FROM documents),
+       |w AS (SELECT doc_id,
+       |  list_distinct(list_transform(generate_series(1, greatest(0, len(gh) - ${w - 1})),
+       |    i -> list_min(gh[CAST(i AS INT):CAST(i+${w - 1} AS INT)]))) AS fps
+       |  FROM g),
+       |f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+       |keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= $maxDf),
+       |kept AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp)),
+       |n AS (SELECT doc_id, count(*) AS n_fps FROM kept GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+       |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       |SELECT doc_a, doc_b, shared_fps,
+       |  round(CAST(shared_fps AS DOUBLE) / least(na.n_fps, nb.n_fps), 4) AS overlap
+       |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id""".stripMargin
+  }
 
   /** Shared oracle CTE for the op-message log: name list and surrogate
     * derivations generated from [[graft.cdc.Cdc.OpMessageNames]] —

@@ -99,6 +99,24 @@ object Text {
         md5(normText(col("text")).cast("binary")).as("fp"),
         length(normText(col("text"))).cast("long").as("n_norm_chars"))
 
+  /** Frames cached by this suite (winnow fingerprint sets) — same
+    * contract as [[Dedup.trackedCaches]]: shared across consumers by plan
+    * equality, released by [[clearCaches]] (graft.Bench calls it).
+    */
+  private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def tracked(df: DataFrame): DataFrame = synchronized {
+    if (!trackedCaches.exists(_.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)))
+      trackedCaches += df
+    df.cache()
+  }
+
+  /** Unpersist every frame this suite has cached. */
+  def clearCaches(): Unit = synchronized {
+    trackedCaches.foreach(_.unpersist(blocking = false))
+    trackedCaches.clear()
+  }
+
   /** Rolling-hash (Rabin-Karp) char-k-gram fingerprints with WINNOWING
     * (Schleimer et al., "Winnowing: Local Algorithms for Document
     * Fingerprinting", SIGMOD 2003): polynomial hash h(i) = Σ c_{i+j}·B^(k-1-j)
@@ -145,6 +163,60 @@ object Text {
            |ELSE array_distinct(transform(sequence(1, size(gh) - ${w - 1}),
            |  i -> array_min(slice(gh, i, $w))))
            |END""".stripMargin).as("fps"))
+  }
+
+  /** Cross-document contamination pairs — the train/test decontamination
+    * primitive: two documents sharing ≥ minShared winnowed fingerprints.
+    * By the winnowing guarantee any shared substring of length ≥ k+w−1
+    * yields a shared fingerprint, so contamination cannot hide from the
+    * fingerprint equi-join; overlap = shared / min(n_fps) scores it.
+    *
+    * Defaults differ from [[winnowFingerprint]]'s (k=5, w=4) on purpose:
+    * contamination needs SPECIFIC fingerprints. Measured on the sf0.1
+    * corpus: 5-char grams collapse to ~1,083 distinct fingerprint values
+    * across 5,000 docs (short docs + shared vocabulary + winnowing's
+    * low-hash bias) — zero discriminating power; k=12/w=8 (19-char shared
+    * substrings guaranteed caught) yields ~37k distinct values with
+    * median df in single digits.
+    *
+    * The document-frequency cap is LOAD-BEARING at scale: corpus-common
+    * substrings (boilerplate sentences) put the same fingerprint in many
+    * docs — without the cap those buckets alone make the join quadratic
+    * (measured: 253M candidate pairs at sf0.1 uncapped vs 0.8M capped).
+    * Dropping fingerprints with df > maxDf is the standard MOSS-style
+    * boilerplate guard; overlap denominators count POST-filter
+    * fingerprints so exact copies still score 1.0.
+    *
+    * Scale: one shuffle on the fingerprint (df filter and pair join
+    * co-partitioned), partial-agg everywhere; per-bucket pairs bounded by
+    * maxDf².
+    */
+  def contamination(spark: SparkSession, dir: String, k: Int = 12, w: Int = 8,
+      minShared: Int = 3, maxDf: Int = 20): DataFrame = {
+    // The cache is a MATERIALIZATION BARRIER, not just reuse (though the
+    // frame does feed 4 consumers: df filter, both self-join sides, the
+    // denominators): without it the optimizer inlines the gram-hash
+    // transform into the winnow window lambda downstream of the explode —
+    // gh recomputed per window, O(len²·k) per doc interpreted (the same
+    // CollapseProject hazard shingles() documents; measured: minutes
+    // instead of seconds even at sf0.001).
+    val wf = tracked(winnowFps(graft.Tables.spread(documents(spark, dir)), k, w))
+    val f = wf.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // fps are per-doc distinct, so count(*) per fp IS document frequency.
+    val rare = f.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("fp"))
+    val kept = f.join(rare, "fp")
+    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .join(n.select(col("doc_id").as("doc_a"), col("n_fps").as("fps_a")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n_fps").as("fps_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_fps"),
+        round(col("shared_fps").cast("double") /
+          least(col("fps_a"), col("fps_b")).cast("double"), 4).as("overlap"))
   }
 
   /** Corpus vocabulary stats: top-N word 3-grams by total frequency (NOT

@@ -152,6 +152,30 @@ class TextDedupSpec extends SparkSpec {
     assert((lsh -- exact).isEmpty, s"verify admitted EXTRA pairs: ${lsh -- exact}")
   }
 
+  test("contamination catches every exact duplicate at overlap 1.0 (sf0.1 dups)") {
+    // Exact copies have identical fingerprint sets: the winnowing
+    // guarantee means they MUST surface as contamination pairs with
+    // shared = n_fps (overlap 1.0) — the decontamination recall floor.
+    // Only sf0.1 contains exact-dup groups, so the recall gate runs there.
+    import graft.operators.{Dedup, Text}
+    val dir = "/root/testdata/sf0.1"
+    val groups = Dedup.exact(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("dup_count") > 1).collect()
+    val cont = Text.contamination(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("overlap")).toMap
+    assert(groups.nonEmpty, "sf0.1 must contain exact dups for this gate to bite")
+    cont.values.foreach(o => assert(o > 0.0 && o <= 1.0))
+    // For each multi-doc fingerprint group, the canonical doc must be
+    // contaminated-with at least one other member at overlap 1.0.
+    val fullOverlap = cont.filter(_._2 == 1.0).keySet
+    groups.foreach { g =>
+      val canonical = g.getAs[Long]("canonical_id")
+      assert(fullOverlap.exists(p => p._1 == canonical || p._2 == canonical),
+        s"exact-dup canonical $canonical missing a full-overlap contamination pair")
+    }
+  }
+
   test("simhash pairs are a subset of true near-dups (precision)") {
     val exact = Dedup.ngramJaccard(spark, sfDir, tau = 0.1).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
