@@ -705,10 +705,16 @@ object Cdc {
     * Scale: a narrow projection over [[positionLog]]'s tiny save fold —
     * collections × channels rows; zero additional shuffles.
     */
-  def positionCodec(spark: SparkSession, dir: String): DataFrame = {
+  def positionCodec(spark: SparkSession, dir: String): DataFrame =
+    positionCodecFrom(positionLog(spark, dir)
+      .select(col("collection_id"), col("channel"), col("pos_ts"), col("pos_event_id")))
+
+  /** The codec on an arbitrary (collection_id, channel, pos_ts,
+    * pos_event_id) frame — split out so the property spec can drive it
+    * with adversarial generated positions, not just corpus save points.
+    */
+  private[graft] def positionCodecFrom(saves: DataFrame): DataFrame = {
     val logicalBits = 18
-    val saves = positionLog(spark, dir)
-      .select(col("collection_id"), col("channel"), col("pos_ts"), col("pos_event_id"))
     val name = concat(lit("by-dev-rootcoord-dml_"), col("channel").cast("string"))
     val tso = shiftleft(unix_millis(col("pos_ts")), logicalBits) +
       pmod(col("pos_event_id"), lit(1L << logicalBits))

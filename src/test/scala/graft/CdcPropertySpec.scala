@@ -147,4 +147,30 @@ class CdcPropertySpec extends SparkSpec {
       assert(got == expected, s"iteration $i")
     }
   }
+
+  test("position codec: columnar protobuf roundtrips on adversarial generated positions") {
+    // The corpus only exercises 2024 timestamps and small event ids; pin
+    // the codec on the whole valid domain — any ms epoch past 1980 (TSO
+    // in [2^56, 2^63) after the 18-bit shift) and any non-negative id,
+    // including Long.MaxValue and ids exceeding the 18-bit logical field.
+    import spark.implicits._
+    val genPos: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(for {
+      ms <- Gen.oneOf(Gen.choose(320000000000L, 7000000000000L),
+        Gen.oneOf(320000000000L, 7000000000000L, 946684800000L))
+      id <- Gen.oneOf(Gen.choose(0L, Long.MaxValue),
+        Gen.oneOf(0L, 1L, 262143L, 262144L, Long.MaxValue))
+    } yield (ms, id))
+    (1 to 10).foreach { i =>
+      val ps = genPos.pureApply(params, Seed(3000L + i)).distinct
+      val df = ps.zipWithIndex.map { case ((ms, id), idx) =>
+        (idx.toLong % 3, idx.toLong % 4, new java.sql.Timestamp(ms), id)
+      }.toDF("collection_id", "channel", "pos_ts", "pos_event_id")
+      val out = graft.cdc.Cdc.positionCodecFrom(df).collect()
+      assert(out.length == ps.length)
+      out.foreach { r =>
+        assert(r.getAs[Boolean]("roundtrip_ok"),
+          s"iteration $i: decode(encode(p)) != p for $r")
+      }
+    }
+  }
 }
