@@ -155,13 +155,19 @@ object Cdc {
     * which the sf1 cross-check measured going quadratic in SF (0.27 s at
     * sf0.1 → 7.1 s at 10×); this is O(n log n) and flat per row. Ties:
     * events sort before probes at equal ts, so a message exactly at
-    * ddl_ts counts as crossed (data_barrier.go's ≥). The per-channel sort
-    * caps parallelism at numChannels — at 100 TB decompose it over ts
-    * buckets exactly like [[orderingAudit]]'s prefix-max (running min
-    * across bucket aggregates + within-bucket window).
+    * ddl_ts counts as crossed (data_barrier.go's ≥).
+    *
+    * Parallelism does NOT cap at numChannels: like [[orderingAudit]]'s
+    * prefix-max, the running min decomposes over ts buckets —
+    * first_crossing = min(within-bucket running min past the probe,
+    * min over LATER buckets' event minima). The per-row window
+    * partitions by (channel, bucket) so tasks scale with data; the
+    * cross-bucket suffix-min runs over the tiny (channel, bucket) grid.
+    * Bucket = floor(ts seconds / bucketWidth) — monotone in ts, so an
+    * event ≥ the probe's ts is either in its bucket or a later one.
     */
   private[graft] def barrierTsFrom(ch: DataFrame, ddls: DataFrame,
-      numChannels: Int): DataFrame = {
+      numChannels: Int, bucketWidth: Long = 86400L): DataFrame = {
     val evTsType = ch.schema("ts").dataType
     val ddlIdType = ddls.schema("ddl_id").dataType
     val probes = ddls.crossJoin(ch.select(col("channel")).distinct())
@@ -171,12 +177,25 @@ object Cdc {
     val prU = probes.select(col("channel"), col("ddl_ts").as("ts"),
       lit(null).cast(evTsType).as("ev_ts"),
       col("ddl_id"), col("ddl_ts"), lit(1).as("is_probe"))
-    val w = Window.partitionBy(col("channel"))
+    val all = evU.unionAll(prU)
+      .withColumn("bucket", expr(s"CAST(ts AS LONG) DIV $bucketWidth"))
+    // Per-(channel, bucket) event minima INCLUDING probe-only buckets
+    // (bmin null there), so every probe row finds its later_min row.
+    val wLater = Window.partitionBy(col("channel")).orderBy(col("bucket"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val bucketGrid = all.groupBy(col("channel"), col("bucket"))
+      .agg(min(when(col("is_probe") === 0, col("ev_ts"))).as("bmin"))
+      .withColumn("later_min", min(col("bmin")).over(wLater))
+      .drop("bmin")
+    val wIn = Window.partitionBy(col("channel"), col("bucket"))
       .orderBy(col("ts").desc, col("is_probe").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val crossings = evU.unionAll(prU)
-      .withColumn("first_crossing", min(col("ev_ts")).over(w))
-      .filter(col("is_probe") === 1 && col("first_crossing").isNotNull)
+    val crossings = all
+      .withColumn("in_bucket_min", min(col("ev_ts")).over(wIn))
+      .filter(col("is_probe") === 1)
+      .join(bucketGrid, Seq("channel", "bucket"))
+      .withColumn("first_crossing", least(col("in_bucket_min"), col("later_min")))
+      .filter(col("first_crossing").isNotNull)
     crossings.groupBy(col("ddl_id"), col("ddl_ts"))
       .agg(count(lit(1)).as("channels_crossed"),
         max(col("first_crossing")).as("barrier_ts"))

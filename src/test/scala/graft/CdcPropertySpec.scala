@@ -148,6 +148,38 @@ class CdcPropertySpec extends SparkSpec {
     }
   }
 
+  test("data barrier: bucket-decomposed forward as-of == brute force, any bucket width") {
+    import spark.implicits._
+    val genCh: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(for {
+      c <- Gen.choose(0L, 2L)
+      ts <- Gen.choose(0L, 20L) // ties + probe-equal ts on purpose
+    } yield (c, ts))
+    val genDdl: Gen[List[Long]] = Gen.nonEmptyListOf(Gen.choose(0L, 25L))
+    (1 to 15).foreach { i =>
+      val evs = genCh.pureApply(params, Seed(4000L + i))
+      val ddls = genDdl.pureApply(params, Seed(5000L + i)).distinct
+        .zipWithIndex.map { case (ts, idx) => (idx.toLong, ts) }
+      val chDf = evs.toDF("channel", "ts")
+      val ddlDf = ddls.toDF("ddl_id", "ddl_ts")
+      val present = evs.map(_._1).distinct
+      val expected = (for {
+        (id, dts) <- ddls
+        crossings = present.flatMap { c =>
+          val hit = evs.filter(e => e._1 == c && e._2 >= dts).map(_._2)
+          if (hit.isEmpty) None else Some(hit.min)
+        }
+        if crossings.size == 3 // every channel must cross
+      } yield (id, dts, crossings.max)).toSet
+      // Widths force single-bucket, multi-bucket, and bucket-per-tick
+      // regimes — the decomposition must be invisible in the answer.
+      Seq(1L, 5L, 1000L).foreach { width =>
+        val got = graft.cdc.Cdc.barrierTsFrom(chDf, ddlDf, numChannels = 3, width)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == expected, s"iteration $i width $width")
+      }
+    }
+  }
+
   test("position codec: columnar protobuf roundtrips on adversarial generated positions") {
     // The corpus only exercises 2024 timestamps and small event ids; pin
     // the codec on the whole valid domain — any ms epoch past 1980 (TSO
