@@ -1159,14 +1159,15 @@ object SparkEntry {
     */
   private def opLogSql: String = {
     val names = graft.cdc.Cdc.OpMessageNames.map(n => s"'$n'").mkString(", ")
+    val n = graft.cdc.Cdc.OpMessageNames.size
     s"""ops AS (
-       |  SELECT [$names][CAST((event_id // 137) % 23 AS INT) + 1] AS op,
+       |  SELECT [$names][CAST((event_id // 137) % $n AS INT) + 1] AS op,
        |    CAST((event_id // 137) % 3 AS BIGINT) AS collection_id,
        |    CAST((event_id // 137) % 2 AS BIGINT) AS db_id,
        |    CAST((event_id // 137) % 5 AS BIGINT) AS user_sid,
        |    CAST((event_id // 137) % 4 AS BIGINT) AS role_id,
        |    CAST((event_id // 137) % 3 AS BIGINT) AS group_id,
-       |    CASE WHEN ((event_id // 137) // 23) % 2 = 0
+       |    CASE WHEN ((event_id // 137) // $n) % 2 = 0
        |         THEN 'grant' ELSE 'revoke' END AS action,
        |    ts, event_id
        |  FROM events WHERE event_id % 137 = 0)""".stripMargin

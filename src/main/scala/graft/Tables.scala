@@ -2,6 +2,30 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** Tracked-cache registry shared by the operator suites (Dedup's shingle
+  * and pair-stat frames, Text's winnow fingerprints). Spark's CacheManager
+  * dedups cache() by plan equality, so one in-memory copy serves every
+  * consumer; dedup the REGISTRY too (sameResult on analyzed plans — raw
+  * plans of separately built identical frames differ by exprIds) so a long
+  * session doesn't accumulate duplicate references. Frames are
+  * deliberately NOT unpersisted per-operator; a long-lived session
+  * (graft.Bench does) calls `clear()` when done with a suite.
+  */
+private[graft] final class CacheRegistry {
+  private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  def tracked(df: DataFrame): DataFrame = synchronized {
+    if (!frames.exists(_.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)))
+      frames += df
+    df.cache()
+  }
+
+  def clear(): Unit = synchronized {
+    frames.foreach(_.unpersist(blocking = false))
+    frames.clear()
+  }
+}
+
 /** Column-pruned loaders for the driver testdata tables.
   *
   * Every loader returns the raw parquet scan; callers `.select` the columns

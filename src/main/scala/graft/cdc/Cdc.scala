@@ -700,7 +700,8 @@ object Cdc {
         pmod(k, lit(5)).as("user_sid"),
         pmod(k, lit(4)).as("role_id"),
         pmod(k, lit(NumCollections)).as("group_id"),
-        when(pmod(expr("(event_id DIV 137) DIV 23"), lit(2)) === 0, lit("grant"))
+        when(pmod(expr(s"(event_id DIV 137) DIV ${OpMessageNames.size}"), lit(2)) === 0,
+            lit("grant"))
           .otherwise(lit("revoke")).as("action"),
         col("ts"), col("event_id"))
   }

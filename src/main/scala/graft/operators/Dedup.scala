@@ -18,32 +18,14 @@ object Dedup {
   import graft.Tables._
   import Text.{normText, toks}
 
-  /** Frames cached by this suite (shingles, pair stats, cluster edges).
-    * Cached plans are shared across the dedup operators by CacheManager
-    * plan equality, so they are deliberately NOT unpersisted per-operator;
-    * a long-lived session (the bench driver, a notebook, the per-SF loop in
-    * tools/CheckLshRecall) MAY call [[clearCaches]] when done with the
-    * dedup suite to release executor storage instead of waiting on LRU
-    * eviction — graft.Bench does so after its timed runs.
+  /** Frames cached by this suite (shingles, pair stats, cluster edges) —
+    * see [[graft.CacheRegistry]] for the sharing/release contract.
     */
-  private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-
-  private def tracked(df: DataFrame): DataFrame = synchronized {
-    // CacheManager dedups cache() by plan equality; dedup here too so a
-    // long session doesn't accumulate duplicate references (and redundant
-    // unpersist calls on clear). sameResult on the ANALYZED plans — raw
-    // logical plans of separately-built identical frames differ by exprIds
-    // and would never match.
-    if (!trackedCaches.exists(_.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)))
-      trackedCaches += df
-    df.cache()
-  }
+  private val caches = new graft.CacheRegistry
+  private def tracked(df: DataFrame): DataFrame = caches.tracked(df)
 
   /** Unpersist every frame this suite has cached. */
-  def clearCaches(): Unit = synchronized {
-    trackedCaches.foreach(_.unpersist(blocking = false))
-    trackedCaches.clear()
-  }
+  def clearCaches(): Unit = caches.clear()
 
   /** Distinct HASHED token-3-gram shingles per doc: (doc_id, gh: long).
     * Grams are xxhash64'd to 64 bits inside the transform, so the explode,

@@ -21,15 +21,21 @@ import org.apache.spark.sql.functions._
 object Sketch {
   import graft.Tables.events
 
-  /** 6-sigma relative HLL++ bound at rsd=0.02 (the configured standard
-    * error): P(miss) < 2e-9 per group. ceil(exact * 12%) in PURE INTEGER
-    * math — (n*12 + 99) div 100 — so Spark and the DuckDB oracle can never
-    * disagree on a float-rounding boundary. The small-count floor covers
-    * the sparse-mode regime where the relative bound rounds to ~0 but the
-    * estimator is integer-granular.
+  /** 6-sigma relative bound as ceil(exact · pct/100) in PURE INTEGER math
+    * — `(n·pct + 99) DIV 100` via SQL DIV (Column `/` is double division,
+    * which would break floor semantics past 2^53) — so Spark and the
+    * DuckDB oracle can never disagree on a float-rounding boundary. pct
+    * derives from the sketch's configured error (ceil'd conservative), so
+    * non-default rsd/lgK calls get matching verdicts. The small-count
+    * floor covers the regime where the relative bound rounds to ~0 but
+    * the estimator is integer-granular. round (not ceil) when quantizing
+    * the rate: ceil would bump 12.000000000000002 (the double for
+    * 6·0.02·100) to 13 and diverge from the oracle's literal 12.
     */
-  private def hllBound(exact: Column): Column =
-    greatest(((exact * 12 + 99) / 100).cast("long"), lit(4L))
+  private def relBound(exactCol: String, relError: Double, floor: Long): Column = {
+    val pct = math.round(relError * 100)
+    expr(s"greatest(CAST(($exactCol * $pct + 99) DIV 100 AS BIGINT), ${floor}L)")
+  }
 
   /** HLL++ distinct users per event type with the exact count alongside —
     * raw estimates, for consumers that want the sketch output itself.
@@ -46,20 +52,21 @@ object Sketch {
     * approx_ok ⟺ |approx − exact| ≤ bound — the oracle-checkable statement
     * of the HLL++ guarantee.
     */
-  def approxDistinct(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+  def approxDistinct(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame = {
+    val bound = relBound("exact_users", 6.0 * rsd, 4L) // 12% at the default rsd
     approxDistinctRaw(spark, dir, rsd)
       .select(col("event_type"), col("exact_users"), col("cnt"),
-        hllBound(col("exact_users")).as("bound"),
-        (abs(col("approx_users") - col("exact_users")) <=
-          hllBound(col("exact_users"))).as("approx_ok"))
+        bound.as("bound"),
+        (abs(col("approx_users") - col("exact_users")) <= bound).as("approx_ok"))
+  }
 
   /** Rank-error bracket half-width for the quantile verdicts: the
     * percentile_approx (KLL-style) guarantee is rank error ≤ 1/accuracy;
-    * 0.005 is 50× that at the default accuracy — slack for the sketch,
-    * still a tight statement (p50 must land inside the exact [p49.5, p50.5]
-    * value bracket).
+    * the bracket gives 50× slack (0.005 at the default accuracy — p50
+    * must land inside the exact [p49.5, p50.5] value bracket), capped at
+    * 0.01 so p99 + eps stays a valid quantile for low-accuracy calls.
     */
-  private val QuantileEps = 0.005
+  private def quantileEps(accuracy: Int): Double = math.min(50.0 / accuracy, 0.01)
 
   /** Quantile sketch of `value` per event type (p50/p95/p99) with the exact
     * interpolated percentiles AND the exact bracket endpoints at q ± eps in
@@ -68,7 +75,8 @@ object Sketch {
     */
   def valueQuantilesRaw(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame = {
     val qs = Seq(0.5, 0.95, 0.99)
-    val brackets = qs.flatMap(q => Seq(q - QuantileEps, q, q + QuantileEps))
+    val eps = quantileEps(accuracy)
+    val brackets = qs.flatMap(q => Seq(q - eps, q, q + eps))
     val exactArr = s"percentile(value, array(${brackets.mkString(", ")}))"
     events(spark, dir)
       .groupBy(col("event_type"))
@@ -118,9 +126,10 @@ object Sketch {
     * honors it against the exact distinct recomputed from the raw stream.
     */
   def hllMerge(spark: SparkSession, dir: String, lgConfigK: Int = 12): DataFrame = {
-    // 6 * 1.04/sqrt(2^12) = 9.75% — as integer math: ceil(n * 975 / 10000).
-    val bound = greatest(
-      ((col("exact_users") * 975 + 9999) / 10000).cast("long"), lit(16L))
+    // 6σ of the union RSE 1.04/√2^lgK — 6·1.04/64 = 9.75% at the default;
+    // basis points so the integer bound stays exact: ceil(n·bp / 10000).
+    val bp = math.round(6.0 * 1.04 / math.sqrt((1L << lgConfigK).toDouble) * 10000)
+    val bound = expr(s"greatest(CAST((exact_users * $bp + 9999) DIV 10000 AS BIGINT), 16L)")
     hllMergeRaw(spark, dir, lgConfigK)
       .select(col("n_channels"), col("exact_users"), bound.as("bound"),
         (abs(col("approx_users") - col("exact_users")) <= bound).as("approx_ok"))

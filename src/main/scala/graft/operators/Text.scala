@@ -99,23 +99,15 @@ object Text {
         md5(normText(col("text")).cast("binary")).as("fp"),
         length(normText(col("text"))).cast("long").as("n_norm_chars"))
 
-  /** Frames cached by this suite (winnow fingerprint sets) — same
-    * contract as [[Dedup.trackedCaches]]: shared across consumers by plan
-    * equality, released by [[clearCaches]] (graft.Bench calls it).
+  /** Frames cached by this suite (winnow fingerprint sets) — see
+    * [[graft.CacheRegistry]] for the sharing/release contract
+    * (graft.Bench calls [[clearCaches]]).
     */
-  private val trackedCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-
-  private def tracked(df: DataFrame): DataFrame = synchronized {
-    if (!trackedCaches.exists(_.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)))
-      trackedCaches += df
-    df.cache()
-  }
+  private val caches = new graft.CacheRegistry
+  private def tracked(df: DataFrame): DataFrame = caches.tracked(df)
 
   /** Unpersist every frame this suite has cached. */
-  def clearCaches(): Unit = synchronized {
-    trackedCaches.foreach(_.unpersist(blocking = false))
-    trackedCaches.clear()
-  }
+  def clearCaches(): Unit = caches.clear()
 
   /** Rolling-hash (Rabin-Karp) char-k-gram fingerprints with WINNOWING
     * (Schleimer et al., "Winnowing: Local Algorithms for Document

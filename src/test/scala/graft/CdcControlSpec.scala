@@ -129,7 +129,8 @@ class CdcControlSpec extends SparkSpec {
     val seen = Tables.events(spark, "/root/testdata/sf0.01")
       .filter(pmod(col("event_id"), lit(137)) === 0)
       .select(element_at(
-        array(Cdc.OpMessageNames.map(lit): _*), (pmod(k, lit(23)) + 1).cast("int")).as("op"))
+        array(Cdc.OpMessageNames.map(lit): _*),
+        (pmod(k, lit(Cdc.OpMessageNames.size)) + 1).cast("int")).as("op"))
       .distinct().collect().map(_.getString(0)).toSet
     assert(seen === Cdc.OpMessageNames.toSet,
       s"missing op types at sf0.01: ${Cdc.OpMessageNames.toSet -- seen}")

@@ -52,7 +52,11 @@ class ReferenceVectorsSpec extends SparkSpec {
     val uid = row.getAs[Long]("user_id")
     val ts = row.getAs[java.sql.Timestamp]("ts")
     val tso = (ts.getTime << 18) + insId % (1L << 18)
-    val escapedProps = row.getAs[String]("props").replace("\"", "\\\"")
+    // Backslash before quote — the same order Go json.Marshal (and the
+    // operator since round 5) applies; quote-only would silently accept a
+    // formatter that stopped escaping backslashes.
+    val escapedProps = row.getAs[String]("props")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
     val expectedInsert =
       s"""[{"name":"user_id","type":"Int64","value":$uid},""" +
       s"""{"name":"event_id","type":"Int64","value":$insId},""" +
