@@ -90,6 +90,7 @@ object SparkEntry {
     "pipeline_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "text_winnow_fingerprint" -> ((s, d) => Text.winnowFingerprint(s, d)),
     "text_contamination" -> ((s, d) => Text.contamination(s, d)),
+    "cdc_msgpack_batch" -> ((s, d) => graft.cdc.Cdc.msgpackBatch(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -519,6 +520,7 @@ object SparkEntry {
         |  coalesce(CAST(list_sum(fps) AS BIGINT), 0) AS fp_checksum
         |FROM w""".stripMargin,
     "text_contamination" -> contaminationOracleSql,
+    "cdc_msgpack_batch" -> msgpackBatchOracleSql,
     "text_ngram_freq" ->
       """WITH toks AS (
         |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
@@ -1151,6 +1153,43 @@ object SparkEntry {
        |SELECT doc_a, doc_b, shared_fps,
        |  round(CAST(shared_fps AS DOUBLE) / least(na.n_fps, nb.n_fps), 4) AS overlap
        |FROM p JOIN n na ON p.doc_a = na.doc_id JOIN n nb ON p.doc_b = nb.doc_id""".stripMargin
+  }
+
+  /** Msgpack batch-boundary oracle: the packer's MaxCount/MaxMsgSize rules
+    * (server/msgpacker/packer.go:57-90) restated as the same windowed
+    * prefix-sum — oversize messages cut segments, segments chunk by
+    * MaxCount. Generated from the shared [[graft.cdc.Cdc.PackMaxCount]] /
+    * [[graft.cdc.Cdc.PackMaxMsgBytes]] constants so the sides cannot drift.
+    */
+  private def msgpackBatchOracleSql: String = {
+    val n = graft.cdc.Cdc.PackMaxCount
+    val s = graft.cdc.Cdc.PackMaxMsgBytes
+    s"""WITH m AS (
+       |  SELECT CAST(user_id % 4 AS BIGINT) AS channel, event_id,
+       |    100 + (event_id * 37) % 1000 AS sz
+       |  FROM events),
+       |r AS (
+       |  SELECT channel, event_id, sz,
+       |    CASE WHEN sz > $s THEN 1 ELSE 0 END AS ov,
+       |    row_number() OVER (PARTITION BY channel ORDER BY event_id) AS seq
+       |  FROM m),
+       |r2 AS (
+       |  SELECT *, COALESCE(SUM(ov) OVER (PARTITION BY channel ORDER BY event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+       |  FROM r),
+       |s2 AS (SELECT *, min(seq) OVER (PARTITION BY channel, seg) AS seg_start FROM r2),
+       |b AS (
+       |  SELECT channel, seg, (seq - seg_start) // $n AS chunk,
+       |    count(*) AS n_msgs, CAST(sum(sz) AS BIGINT) AS batch_bytes,
+       |    min(event_id) AS first_event_id, max(event_id) AS last_event_id,
+       |    max(ov) AS has_ov
+       |  FROM s2 GROUP BY 1, 2, 3)
+       |SELECT channel,
+       |  CAST(row_number() OVER (PARTITION BY channel ORDER BY seg, chunk) AS BIGINT) AS batch_id,
+       |  n_msgs, batch_bytes, first_event_id, last_event_id,
+       |  CASE WHEN has_ov = 1 THEN 'size'
+       |       WHEN n_msgs = $n THEN 'count' ELSE 'open' END AS reason
+       |FROM b""".stripMargin
   }
 
   /** Shared oracle CTE for the op-message log: name list and surrogate

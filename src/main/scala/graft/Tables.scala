@@ -21,7 +21,11 @@ private[graft] final class CacheRegistry {
   }
 
   def clear(): Unit = synchronized {
-    frames.foreach(_.unpersist(blocking = false))
+    // Reverse registration order (dependents before their inputs: kept
+    // before wf) so uncaching a base frame never forces the CacheManager to
+    // re-plan a still-registered dependent entry; blocking so the store is
+    // actually empty before the next cache build races the async drop.
+    frames.reverseIterator.foreach(_.unpersist(blocking = true))
     frames.clear()
   }
 }

@@ -596,10 +596,14 @@ object Cdc {
     // props is a JSON string marshaled as a VarChar VALUE, escaped as Go's
     // json.Marshal does for the specials the corpus can carry: backslash
     // FIRST (else it would re-escape the quote escapes), then quote.
-    // Control chars (\uXXXX forms) remain out of contract — asserted
-    // absent by the corpus, as documented in the oracle.
-    val escapedProps = regexp_replace(
-      regexp_replace(col("props"), "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    // Control chars (\uXXXX forms) remain out of contract — enforced at
+    // emit time: a row that would need \u escaping fails the job instead
+    // of silently emitting invalid JSON.
+    val escapedProps = when(col("props").rlike("[\\x00-\\x1f]"),
+      raise_error(concat(lit("kafka_format: control char in props, event_id="),
+        col("event_id").cast("string"))))
+      .otherwise(regexp_replace(
+        regexp_replace(col("props"), "\\\\", "\\\\\\\\"), "\"", "\\\\\""))
     val insertVal = concat(
       lit("""[{"name":"user_id","type":"Int64","value":"""), col("user_id").cast("string"),
       lit("""},{"name":"event_id","type":"Int64","value":"""), col("event_id").cast("string"),
@@ -912,5 +916,106 @@ object Cdc {
         max(col("ts")).as("head_ts"),
         count(when(col("ts") > cp, lit(1))).as("pending"))
       .withColumn("lag_ms", unix_millis(col("head_ts")) - unix_millis(col("checkpoint_ts")))
+  }
+
+  /** Message-pack defaults mirroring the reference's packer config
+    * (server/msgpacker/packer.go:12-14): a pack flushes when it holds
+    * MaxCount messages or receives a message whose OWN serialized size
+    * exceeds MaxMsgSize. (The wall-clock timer and the process-global
+    * memory protector — packer.go:57-66, pack_checker.go:15-36 — are
+    * runtime concerns, not queryable semantics, so the audit marks batches
+    * they would flush as `open` instead.)
+    */
+  val PackMaxCount = 10
+  val PackMaxMsgBytes = 1050L
+
+  /** Simulated serialized message size in bytes (the testdata has no
+    * payload column with size spread; props is uniformly 8-9 chars). The
+    * surrogate is deterministic and oracle-restatable; ~5% of messages
+    * exceed [[PackMaxMsgBytes]], so both flush rules and the open tail all
+    * occur on every channel.
+    */
+  private def packMsgBytes: Column =
+    lit(100L) + pmod(col("event_id") * 37L, lit(1000L))
+
+  /** Batch-boundary audit for the target-side message packer
+    * (server/msgpacker/packer.go:57-90 Receive, pack_checker.go
+    * MsgCountChecker): deterministic batch id + size/count/reason per
+    * message batch under the MaxCount/MaxMsgSize rules.
+    *
+    * Key structural fact that makes this a WINDOWED PREFIX-SUM instead of a
+    * sequential fold: in Receive, a message whose own size exceeds
+    * MaxMsgSize flushes the pack IMMEDIATELY (before the count checker
+    * runs, packer.go:72-76), and every flush resets the count checker — so
+    * oversize messages partition each channel's stream into segments, and
+    * within a segment batches are exact MaxCount-chunks (the segment's last
+    * chunk may be short, closed by its oversize message or left open at the
+    * stream tail).
+    *
+    * Scale: the same bucket decomposition as [[orderingAudit]] — per-row
+    * windows partition by (channel, event_id-bucket), cumulative counts
+    * ride the tiny per-bucket aggregate, so parallelism scales with data,
+    * not channel count. The batch-id numbering window runs over the
+    * batch-level table (|batches| ≈ |msgs|/MaxCount).
+    */
+  def msgpackBatch(spark: SparkSession, dir: String,
+      maxCount: Int = PackMaxCount, maxBytes: Long = PackMaxMsgBytes): DataFrame =
+    msgpackBatchFrom(
+      events(spark, dir).select(
+        pmod(col("user_id"), lit(NumChannels)).as("channel"),
+        col("event_id"), packMsgBytes.as("sz")),
+      maxCount, maxBytes)
+
+  /** The batching fold over an arbitrary (channel, event_id, sz) frame —
+    * split out so the spec can replay the Go packer's semantics on
+    * constructed streams (count-capped, size-capped, tail-open vectors).
+    */
+  private[graft] def msgpackBatchFrom(msgs: DataFrame, maxCount: Int,
+      maxBytes: Long): DataFrame = {
+    val bucketSize = 4096L
+    val e = msgs
+      .withColumn("bucket", col("event_id") - pmod(col("event_id"), lit(bucketSize)))
+      .withColumn("ov", (col("sz") > maxBytes).cast("long"))
+    // Per-bucket totals + cumulative counts across earlier buckets: a tiny
+    // aggregate (|buckets| rows), so its cumulative window costs nothing.
+    val wBuckets = Window.partitionBy(col("channel")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bstats = e.groupBy(col("channel"), col("bucket"))
+      .agg(count(lit(1)).as("bcnt"), sum(col("ov")).as("bov"))
+      .withColumn("prev_cnt", coalesce(sum(col("bcnt")).over(wBuckets), lit(0L)))
+      .withColumn("prev_ov", coalesce(sum(col("bov")).over(wBuckets), lit(0L)))
+      .select(col("channel"), col("bucket"), col("prev_cnt"), col("prev_ov"))
+    // One (channel, bucket) sort serves both row-level prefixes: the
+    // channel-wide sequence number and the oversize-prefix segment id
+    // (count of oversize messages STRICTLY before this one).
+    val wRow = Window.partitionBy(col("channel"), col("bucket")).orderBy(col("event_id"))
+    val rows = e.join(bstats, Seq("channel", "bucket"))
+      .withColumn("seq", col("prev_cnt") + row_number().over(wRow))
+      .withColumn("seg", col("prev_ov") + coalesce(
+        sum(col("ov")).over(wRow.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // Chunk within segment = 0-based position DIV maxCount; AQE broadcasts
+    // the segment-start table while it is small, hash-joins co-partitioned
+    // otherwise.
+    val segStart = rows.groupBy(col("channel"), col("seg"))
+      .agg(min(col("seq")).as("seg_start"))
+    val batches = rows.join(segStart, Seq("channel", "seg"))
+      .withColumn("chunk", expr(s"(seq - seg_start) DIV $maxCount"))
+      .groupBy(col("channel"), col("seg"), col("chunk"))
+      .agg(count(lit(1)).as("n_msgs"), sum(col("sz")).as("batch_bytes"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"),
+        max(col("ov")).as("has_ov"))
+    batches
+      .withColumn("batch_id", row_number()
+        .over(Window.partitionBy(col("channel")).orderBy(col("seg"), col("chunk")))
+        .cast("long"))
+      .select(col("channel"), col("batch_id"), col("n_msgs"),
+        col("batch_bytes").cast("long").as("batch_bytes"),
+        col("first_event_id"), col("last_event_id"),
+        // Receive checks size BEFORE count (packer.go:72-83), so an
+        // exactly-full chunk closed by an oversize message reads 'size'.
+        when(col("has_ov") === 1L, lit("size"))
+          .when(col("n_msgs") === maxCount, lit("count"))
+          .otherwise(lit("open")).as("reason"))
   }
 }

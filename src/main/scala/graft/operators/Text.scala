@@ -120,41 +120,31 @@ object Text {
     *
     * All arithmetic is exact 64-bit integer math (fold-with-mod ≡
     * polynomial-mod by congruence; products bounded ≪ 2^63), so the DuckDB
-    * oracle restates it verbatim. Everything runs inside one codegen'd
-    * narrow projection per doc — no explode, no shuffle at any scale; the
-    * checksum is an order-independent fingerprint-set digest.
+    * oracle restates it verbatim. The fingerprint set is computed by the
+    * native [[graft.functions.WinnowFingerprints]] expression — one compiled
+    * O(1)/char pass per doc inside a narrow projection; no explode, no
+    * shuffle at any scale. The checksum is an order-independent
+    * fingerprint-set digest.
     */
   def winnowFingerprint(spark: SparkSession, dir: String, k: Int = 5,
       w: Int = 4): DataFrame =
     winnowFps(documents(spark, dir), k, w)
-      .select(col("doc_id"),
-        size(col("gh")).cast("long").as("n_grams"),
+      .select(col("doc_id"), col("n_grams"),
         size(col("fps")).cast("long").as("n_fps"),
         expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a + x)").as("fp_checksum"))
 
-  /** The (doc_id, gram hashes, selected fingerprints) frame — split out so
+  /** The (doc_id, n_grams, selected fingerprint set) frame — split out so
     * the spec can assert the winnowing guarantee on constructed docs.
+    * n_grams = max(0, chars-k+1) restates the oracle's generate_series
+    * length; docs shorter than k+w-1 fingerprint to the empty set (the
+    * expression guards that internally — no bogus descending `sequence`).
     */
   private[graft] def winnowFps(docs: DataFrame, k: Int, w: Int): DataFrame = {
-    val B = 31L
-    val M = 1L << 25
-    // Short-input guards are load-bearing: Spark's sequence(a, b) counts
-    // DOWN when a > b, so an unguarded sequence(1, length-k+1) on a doc
-    // shorter than k yields [1, 0] — bogus grams, and a slice(gh, 0, w)
-    // crash one stage later. Empty arrays match the oracle's
-    // generate_series(1, 0) = [] semantics exactly.
-    docs
-      .select(col("doc_id"), expr(
-        s"""CASE WHEN length(text) < $k THEN CAST(array() AS ARRAY<BIGINT>)
-           |ELSE transform(sequence(1, length(text) - ${k - 1}),
-           |  i -> aggregate(sequence(0, ${k - 1}), CAST(0 AS BIGINT),
-           |         (acc, j) -> (acc * $B + ascii(substr(text, i + j, 1))) % $M))
-           |END""".stripMargin).as("gh"))
-      .select(col("doc_id"), col("gh"), expr(
-        s"""CASE WHEN size(gh) < $w THEN CAST(array() AS ARRAY<BIGINT>)
-           |ELSE array_distinct(transform(sequence(1, size(gh) - ${w - 1}),
-           |  i -> array_min(slice(gh, i, $w))))
-           |END""".stripMargin).as("fps"))
+    import org.apache.spark.sql.GraftSql
+    docs.select(col("doc_id"),
+      greatest(length(col("text")) - lit(k - 1), lit(0)).cast("long").as("n_grams"),
+      GraftSql.column(graft.functions.WinnowFingerprints(
+        GraftSql.expression(col("text")), k, w)).as("fps"))
   }
 
   /** Cross-document contamination pairs — the train/test decontamination
@@ -185,27 +175,33 @@ object Text {
     */
   def contamination(spark: SparkSession, dir: String, k: Int = 12, w: Int = 8,
       minShared: Int = 3, maxDf: Int = 20): DataFrame = {
-    // The cache is a MATERIALIZATION BARRIER, not just reuse (though the
-    // frame does feed 4 consumers: df filter, both self-join sides, the
-    // denominators): without it the optimizer inlines the gram-hash
-    // transform into the winnow window lambda downstream of the explode —
-    // gh recomputed per window, O(len²·k) per doc interpreted (the same
-    // CollapseProject hazard shingles() documents; measured: minutes
-    // instead of seconds even at sf0.001).
+    // The wf cache is a MATERIALIZATION BARRIER, not just reuse: the
+    // downstream explode makes InferFiltersFromGenerate add a
+    // `size(fps) > 0` predicate, and pushdown substitutes the alias and
+    // sinks `size(winnowfingerprints(text)) > 0` beneath the exchange into
+    // the scan filter — the expression then evaluates 2-3× per doc per
+    // branch (observed in the physical plan). Caching the one-row-per-doc
+    // fingerprint frame pins exactly ONE evaluation; inferred filters land
+    // on the cached `fps` attribute instead.
     val wf = tracked(winnowFps(graft.Tables.spread(documents(spark, dir)), k, w))
     val f = wf.select(col("doc_id"), explode(col("fps")).as("fp"))
     // fps are per-doc distinct, so count(*) per fp IS document frequency.
     val rare = f.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select(col("fp"))
-    val kept = f.join(rare, "fp")
-    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    // The POST-filter per-doc fingerprint count (the overlap denominator)
+    // rides along as a window count, so the pair join needs no separate
+    // denominator aggregation + re-joins — min() recovers it per side (it
+    // is constant within a doc). One cached frame serves both self-join
+    // sides; per-doc fps are bounded (~chars/w), so the doc_id window
+    // partition cannot skew.
+    val kept = tracked(f.join(rare, "fp").withColumn("n_fps",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")))))
     kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_fps"))
+      .agg(count(lit(1)).as("shared_fps"),
+        min(col("a.n_fps")).as("fps_a"), min(col("b.n_fps")).as("fps_b"))
       .filter(col("shared_fps") >= minShared)
-      .join(n.select(col("doc_id").as("doc_a"), col("n_fps").as("fps_a")), "doc_a")
-      .join(n.select(col("doc_id").as("doc_b"), col("n_fps").as("fps_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("shared_fps"),
         round(col("shared_fps").cast("double") /
           least(col("fps_a"), col("fps_b")).cast("double"), 4).as("overlap"))

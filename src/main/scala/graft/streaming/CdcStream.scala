@@ -44,6 +44,20 @@ object CdcStream {
   private val Sentinel = Long.MinValue
   private val nameSeq = new AtomicInteger(0)
 
+  /** Names of drained memory-sink temp views not yet dropped. Each drain
+    * registers one; a long-lived session (graft.Bench) calls [[dropSinks]]
+    * after consuming a query so sink rows don't accumulate on the driver
+    * heap across the suite. Already-returned DataFrames keep working — they
+    * hold the resolved plan, not the view name.
+    */
+  private val liveSinks = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  /** Drop every drained memory-sink temp view registered so far. */
+  def dropSinks(spark: SparkSession): Unit = liveSinks.synchronized {
+    liveSinks.foreach(spark.catalog.dropTempView(_))
+    liveSinks.clear()
+  }
+
   /** The events parquet as an unbounded stream (file source; ts arrives as
     * raw nanos because parquet TIMESTAMP(NANOS) isn't a Spark type).
     */
@@ -93,6 +107,7 @@ object CdcStream {
       }
       q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    liveSinks.synchronized { liveSinks += name }
     df.sparkSession.table(name)
   }
 

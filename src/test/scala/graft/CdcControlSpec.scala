@@ -220,4 +220,78 @@ class CdcControlSpec extends SparkSpec {
     assert(del.filter(col("n") =!= "user_id" || col("t") =!= "Int64").count() === 0)
     out.unpersist()
   }
+
+  /** Direct replay of packer.Receive (server/msgpacker/packer.go:57-90 +
+    * pack_checker.go MsgCountChecker): append; flush if THIS message's size
+    * exceeds maxBytes (count checker never increments, but resets); else
+    * count++ and flush at maxCount. Returns per-batch
+    * (n_msgs, bytes, firstId, lastId, reason) in order; a non-empty tail is
+    * 'open' (the wall-clock timer would flush it).
+    */
+  private def goPacker(msgs: Seq[(Long, Long)], maxCount: Int,
+      maxBytes: Long): Seq[(Long, Long, Long, Long, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
+    var pack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var count = 0
+    def flush(reason: String): Unit = {
+      out += ((pack.size.toLong, pack.map(_._2).sum, pack.head._1, pack.last._1, reason))
+      pack = scala.collection.mutable.ArrayBuffer.empty
+      count = 0
+    }
+    msgs.sortBy(_._1).foreach { case (id, sz) =>
+      pack += ((id, sz))
+      if (sz > maxBytes) flush("size")
+      else {
+        count += 1
+        if (count >= maxCount) flush("count")
+      }
+    }
+    if (pack.nonEmpty) flush("open")
+    out.toSeq
+  }
+
+  test("msgpack_batch matches a direct replay of packer.Receive (count, size, open tails)") {
+    // One channel exercising every rule: two count-capped packs, a pack cut
+    // short by an oversize message, back-to-back oversize messages
+    // (singleton 'size' packs), an exactly-full pack CLOSED by an oversize
+    // message (size wins over count — Receive checks size first), and a
+    // short open tail.
+    val sizes = Seq.fill(10)(50L) ++ Seq.fill(10)(60L) ++ // 2 count packs
+      Seq(50L, 50L, 9999L) ++                             // size-cut pack of 3
+      Seq(8888L, 7777L) ++                                // 2 singleton size packs
+      (Seq.fill(9)(40L) :+ 5555L) ++                      // 10th msg oversize → 'size'
+      Seq(30L, 30L, 30L)                                  // open tail of 3
+    val msgs = sizes.zipWithIndex.map { case (sz, i) => (i.toLong * 7 + 3, sz) }
+    val expected = goPacker(msgs, maxCount = 10, maxBytes = 1000L)
+    val df = msgs.map { case (id, sz) => (0L, id, sz) }
+      .toDF("channel", "event_id", "sz")
+    val got = Cdc.msgpackBatchFrom(df, 10, 1000L)
+      .orderBy(col("batch_id")).collect()
+      .map(r => (r.getAs[Long]("n_msgs"), r.getAs[Long]("batch_bytes"),
+        r.getAs[Long]("first_event_id"), r.getAs[Long]("last_event_id"),
+        r.getAs[String]("reason"))).toSeq
+    assert(got === expected)
+    assert(expected.map(_._5).toSet === Set("count", "size", "open"),
+      "the vector must exercise all three flush reasons")
+  }
+
+  test("msgpack_batch: batches partition each channel's stream in order, sizes bounded") {
+    val out = Cdc.msgpackBatch(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("channel")).foreach { case (_, rows) =>
+      val byId = rows.sortBy(_.getAs[Long]("batch_id"))
+      // Contiguous, non-overlapping event ranges; counts within MaxCount.
+      byId.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_event_id") < b.getAs[Long]("first_event_id"))
+        case _ => ()
+      }
+      byId.foreach { r =>
+        assert(r.getAs[Long]("n_msgs") <= Cdc.PackMaxCount)
+        val open = r.getAs[String]("reason") == "open"
+        if (open) assert(r.getAs[Long]("batch_id") === byId.last.getAs[Long]("batch_id"),
+          "an open pack can only be the channel tail")
+      }
+    }
+  }
 }

@@ -165,6 +165,29 @@ class PlanAuditSpec extends SparkSpec {
       s"the codec must add zero shuffles over positionLog:\n$codec")
   }
 
+  test("text_contamination: native winnow expression, cached kept frame, no cartesian") {
+    val plan = planOf(graft.operators.Text.contamination(spark, sfDir))
+    assert(plan.toLowerCase.contains("winnowfingerprints"),
+      "the fingerprint stage must run the codegen'd rolling-hash expression")
+    assert(!plan.contains("aggregate(sequence") && !plan.contains("slice("),
+      "the interpreted per-position HOF formulation must never return (the r5 bench killer)")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the self-join must read the cached kept frame, not recompute fingerprints:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay an fp equi-join")
+    graft.operators.Text.clearCaches()
+  }
+
+  test("cdc_msgpack_batch: prefix sums decompose over (channel, bucket), partials map-side") {
+    val plan = planOf(Cdc.msgpackBatch(spark, sfDir))
+    assert(plan.contains("partial_"), "bucket stats must partial-aggregate map-side")
+    // The row-level window must be keyed by (channel, bucket) — a bare
+    // channel partition would cap parallelism at NumChannels forever.
+    assert("windowspecdefinition\\(channel#\\d+L?, bucket#\\d+".r.findFirstIn(plan).isDefined,
+      s"row-level prefixes must partition by (channel, bucket):\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("registerAll exposes every table + the vector functions to spark.sql") {
     graft.Tables.registerAll(spark, sfDir)
     val r = spark.sql(

@@ -28,16 +28,57 @@ class TextDedupSpec extends SparkSpec {
 
   test("winnowing short-input edge: docs shorter than k (or k+w-1) yield empty sets, not a crash") {
     import spark.implicits._
-    // Spark's sequence(1, 0) counts DOWN to [1, 0]; unguarded, a short doc
-    // produced bogus grams and a slice(gh, 0, w) runtime crash. Empty
-    // arrays match the oracle's generate_series(1, 0) = [].
+    // A doc shorter than k has no grams; one shorter than k+w-1 has grams
+    // but no winnow window. Both must fingerprint to the empty set — the
+    // oracle's generate_series(1, 0) = [] semantics.
     val docs = Seq((1L, "abc"), (2L, "abcdef"), (3L, "abcdefgh"))
       .toDF("doc_id", "text")
     val out = Text.winnowFps(docs, k = 5, w = 4).collect()
-      .map(r => r.getLong(0) -> (r.getSeq[Long](1).size, r.getSeq[Long](2).size)).toMap
-    assert(out(1L) === ((0, 0)), "shorter than k: no grams, no fps")
-    assert(out(2L) === ((2, 0)), "k <= len < k+w-1: grams but no winnow window")
-    assert(out(3L) === ((4, 1)), "len = k+w-1: exactly one window, one fp")
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2).size)).toMap
+    assert(out(1L) === ((0L, 0)), "shorter than k: no grams, no fps")
+    assert(out(2L) === ((2L, 0)), "k <= len < k+w-1: grams but no winnow window")
+    assert(out(3L) === ((4L, 1)), "len = k+w-1: exactly one window, one fp")
+  }
+
+  test("native winnow expression ≡ the declarative HOF fold (incl. non-ASCII, repeats, boundaries)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The compiled rolling-hash + deque kernel must produce exactly the
+    // fingerprint SET of the interpreted formulation it replaced (which is
+    // what the DuckDB oracle restates): same polynomial, same mod-2^25
+    // residues, same window minima. Domains chosen to stress the rolling
+    // subtraction (repeats, monotone runs), the deque (ties, alternating
+    // minima), code-point iteration (multibyte UTF-8), and length edges.
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaa"),
+      (2L, "abcdefghijklmnopqrstuvwxyz"),
+      (3L, "zyxwvutsrqponmlkjihgfedcba"),
+      (4L, "ababababababababab"),
+      (5L, "the quick brown fox jumps over the lazy dog"),
+      (6L, "héllo wörld — données réelles über alles, 你好世界"),
+      (7L, "x" * 4 + "Y" + "x" * 4),
+      (8L, "0123456789" * 5),
+      (9L, "short"),
+      (10L, "exactly8")).toDF("doc_id", "text")
+    for ((k, w) <- Seq((5, 4), (12, 8), (2, 2))) {
+      val hof = docs.select(col("doc_id"), expr(
+        s"""CASE WHEN length(text) < $k THEN CAST(array() AS ARRAY<BIGINT>)
+           |ELSE transform(sequence(1, length(text) - ${k - 1}),
+           |  i -> aggregate(sequence(0, ${k - 1}), CAST(0 AS BIGINT),
+           |         (acc, j) -> (acc * 31 + ascii(substr(text, i + j, 1))) % ${1L << 25}))
+           |END""".stripMargin).as("gh"))
+        .select(col("doc_id"), expr(
+          s"""CASE WHEN size(gh) < $w THEN CAST(array() AS ARRAY<BIGINT>)
+             |ELSE array_distinct(transform(sequence(1, size(gh) - ${w - 1}),
+             |  i -> array_min(slice(gh, i, $w))))
+             |END""".stripMargin).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val native = Text.winnowFps(docs, k, w).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+      hof.keys.foreach { id =>
+        assert(native(id) == hof(id), s"doc $id diverges at k=$k w=$w")
+      }
+    }
   }
 
   test("text_token_count: ws_tokens <= re_tokens, all docs covered") {
