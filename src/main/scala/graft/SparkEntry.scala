@@ -455,6 +455,11 @@ object SparkEntry {
         |  md5(array_to_string(list_transform(range(0, 32),
         |    i -> substr(text, CAST(floor(i * length(text) / 32) AS INT) + 1, 1)), '')) AS sig_md5
         |FROM documents""".stripMargin,
+    // Linear union-as-of, the same shape as the Spark operator: probes sort
+    // AFTER events at equal ts (at-or-before includes ties), and each probe
+    // reads the running lexicographic max of (ts, event_id). The previous
+    // inequality-join formulation was quadratic on the ORACLE side — 436 s
+    // at the 10x set vs ~2 s for this one, same answer.
     "cdc_seek_asof" ->
       """WITH ddls AS (
         |  SELECT event_id AS ddl_id, ts AS ddl_ts FROM events
@@ -462,13 +467,19 @@ object SparkEntry {
         |q AS (SELECT ddl_id, ddl_ts, channel
         |      FROM ddls, unnest(generate_series(0, 3)) AS c(channel)),
         |e AS (SELECT CAST(user_id % 4 AS BIGINT) AS channel, ts, event_id FROM events),
+        |u AS (
+        |  SELECT channel, ts, 0 AS is_probe, event_id, NULL::BIGINT AS ddl_id FROM e
+        |  UNION ALL
+        |  SELECT channel, ddl_ts AS ts, 1 AS is_probe, NULL::BIGINT AS event_id, ddl_id FROM q),
         |r AS (
-        |  SELECT q.ddl_id, q.channel, e.ts AS pos_ts, e.event_id AS pos_event_id,
-        |    row_number() OVER (PARTITION BY q.ddl_id, q.channel
-        |                       ORDER BY e.ts DESC, e.event_id DESC) AS rn
-        |  FROM q JOIN e ON e.channel = q.channel AND e.ts <= q.ddl_ts)
-        |SELECT ddl_id, channel, CAST(pos_ts AS TIMESTAMP) AS pos_ts, pos_event_id
-        |FROM r WHERE rn = 1""".stripMargin,
+        |  SELECT channel, is_probe, ddl_id,
+        |    max(CASE WHEN is_probe = 0 THEN ROW(ts, event_id) END)
+        |      OVER (PARTITION BY channel
+        |            ORDER BY ts, is_probe, coalesce(event_id, 9223372036854775807)
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM u)
+        |SELECT ddl_id, channel, CAST(p[1] AS TIMESTAMP) AS pos_ts, p[2] AS pos_event_id
+        |FROM r WHERE is_probe = 1 AND p IS NOT NULL""".stripMargin,
     "cdc_tso_convert" ->
       """WITH t AS (
         |  SELECT event_id,
