@@ -91,6 +91,7 @@ object SparkEntry {
     "text_winnow_fingerprint" -> ((s, d) => Text.winnowFingerprint(s, d)),
     "text_contamination" -> ((s, d) => Text.contamination(s, d)),
     "cdc_msgpack_batch" -> ((s, d) => graft.cdc.Cdc.msgpackBatch(s, d)),
+    "cdc_task_metrics" -> (graft.cdc.Cdc.taskMetrics _),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -532,6 +533,33 @@ object SparkEntry {
         |FROM w""".stripMargin,
     "text_contamination" -> contaminationOracleSql,
     "cdc_msgpack_batch" -> msgpackBatchOracleSql,
+    "cdc_task_metrics" ->
+      """WITH m AS (
+        |  SELECT CAST(user_id % 4 AS BIGINT) AS task_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op_type,
+        |    100 + (event_id * 37) % 1000 AS sz, ts
+        |  FROM events WHERE user_id % 4 < 3),
+        |ops AS (
+        |  SELECT CAST((event_id // 300) % 3 AS BIGINT) AS task_id,
+        |    ['create','pause','resume','delete'][CAST((event_id // 300) % 4 AS INT) + 1] AS op,
+        |    ts, event_id
+        |  FROM events WHERE event_type = 'click' AND event_id % 300 = 0),
+        |lastop AS (
+        |  SELECT task_id, op,
+        |    row_number() OVER (PARTITION BY task_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ops),
+        |st AS (
+        |  SELECT task_id,
+        |    CASE WHEN op = 'pause' THEN 'Paused'
+        |         WHEN op = 'delete' THEN 'Deleted'
+        |         ELSE 'Running' END AS state
+        |  FROM lastop WHERE rn = 1)
+        |SELECT m.task_id, st.state, m.op_type, count(*) AS replicate_cnt,
+        |  CAST(sum(m.sz) AS BIGINT) AS replicate_bytes,
+        |  CAST(max(m.ts) AS TIMESTAMP) AS last_replicate_ts
+        |FROM m JOIN st ON m.task_id = st.task_id
+        |GROUP BY 1, 2, 3""".stripMargin,
     "text_ngram_freq" ->
       """WITH toks AS (
         |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),

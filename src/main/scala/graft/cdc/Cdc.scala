@@ -918,6 +918,34 @@ object Cdc {
       .withColumn("lag_ms", unix_millis(col("head_ts")) - unix_millis(col("checkpoint_ts")))
   }
 
+  /** The server's Prometheus replication counters as a metadata query —
+    * the last queryable surface of server/metrics: replicate message count
+    * and accumulated byte size labeled by (task, op type)
+    * (metrics.go:115-129 ReplicateDataSizeVec / ReplicateDataCntVec), the
+    * last replicate timestamp per task (metrics.go:107-113
+    * ReplicateTimeVec), and the task-state gauge (metrics_task_num.go
+    * TaskNumMetric) joined from the [[taskState]] fold.
+    *
+    * Tasks watch their channel 1:1 (the suite's standing surrogate), so
+    * counters group on (channel-as-task, op type): one scan, one shuffle,
+    * map-side partials; the 3-row state table broadcasts.
+    */
+  def taskMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val counters = events(spark, dir)
+      .select(pmod(col("user_id"), lit(NumChannels)).as("task_id"),
+        when(isDelete, lit("delete")).otherwise(lit("insert")).as("op_type"),
+        packMsgBytes.as("sz"), col("ts"))
+      .filter(col("task_id") < NumTasks)
+      .groupBy(col("task_id"), col("op_type"))
+      .agg(count(lit(1)).as("replicate_cnt"),
+        sum(col("sz")).cast("long").as("replicate_bytes"),
+        max(col("ts")).as("last_replicate_ts"))
+    val states = taskState(spark, dir).select(col("task_id"), col("state"))
+    counters.join(broadcast(states), Seq("task_id"))
+      .select(col("task_id"), col("state"), col("op_type"),
+        col("replicate_cnt"), col("replicate_bytes"), col("last_replicate_ts"))
+  }
+
   /** Message-pack defaults mirroring the reference's packer config
     * (server/msgpacker/packer.go:12-14): a pack flushes when it holds
     * MaxCount messages or receives a message whose OWN serialized size

@@ -275,6 +275,26 @@ class CdcControlSpec extends SparkSpec {
       "the vector must exercise all three flush reasons")
   }
 
+  test("task_metrics: counters partition the watched channels' stream; state matches the task fold") {
+    val rows = Cdc.taskMetrics(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // Counter totals must equal the raw event counts on the channels of
+    // REGISTERED tasks (a task exists only once its op log has an entry —
+    // at sf0.001 the sparse op-log surrogate registers fewer than NumTasks).
+    val present = rows.map(_.getAs[Long]("task_id")).distinct.sorted
+    val watched = graft.Tables.events(spark, sfDir)
+      .filter(pmod(col("user_id"), lit(Cdc.NumChannels)).isin(present: _*)).count()
+    assert(rows.map(_.getAs[Long]("replicate_cnt")).sum === watched)
+    // One gauge value per task — identical to cdc_task_state's fold.
+    val states = Cdc.taskState(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("task_id") -> r.getAs[String]("state")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[String]("state") === states(r.getAs[Long]("task_id")))
+      assert(r.getAs[Long]("replicate_bytes") >= 100 * r.getAs[Long]("replicate_cnt"),
+        "byte counter must accumulate the per-message size surrogate")
+    }
+  }
+
   test("msgpack_batch: batches partition each channel's stream in order, sizes bounded") {
     val out = Cdc.msgpackBatch(spark, sfDir).collect()
     assert(out.nonEmpty)
