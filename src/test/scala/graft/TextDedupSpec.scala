@@ -56,6 +56,7 @@ class TextDedupSpec extends SparkSpec {
       (4L, "ababababababababab"),
       (5L, "the quick brown fox jumps over the lazy dog"),
       (6L, "héllo wörld — données réelles über alles, 你好世界"),
+      (11L, "music 𝄞 clef and emoji 🎻🎻🎻 beyond the BMP — 𝄞𝄞 surrogate pairs"),
       (7L, "x" * 4 + "Y" + "x" * 4),
       (8L, "0123456789" * 5),
       (9L, "short"),
