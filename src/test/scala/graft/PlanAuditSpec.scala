@@ -142,6 +142,13 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("cdc_task_metrics: counter fold partials map-side; state gauge joins broadcast") {
+    val plan = planOf(Cdc.taskMetrics(spark, sfDir))
+    assert(plan.contains("partial_"), "counters must combine map-side")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the task-count-sized state table must broadcast against the counters:\n$plan")
+  }
+
   test("cdc_rbac_state: single pass over the stream — one scan, one aggregation shuffle") {
     val plan = planOf(Cdc.rbacState(spark, sfDir))
     // One events scan (the per-kind entity expansion is a map-side
