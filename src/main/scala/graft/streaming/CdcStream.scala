@@ -96,6 +96,9 @@ object CdcStream {
     spark.conf.set("spark.sql.shuffle.partitions", streamParts)
     try {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      // Register for cleanup as soon as the sink exists — a drain that
+      // fails later must still leave its view droppable.
+      liveSinks.synchronized { liveSinks += name }
       q.processAllAvailable()
       if (awaitNoDataBatch) {
         val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
@@ -107,7 +110,6 @@ object CdcStream {
       }
       q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    liveSinks.synchronized { liveSinks += name }
     df.sparkSession.table(name)
   }
 
