@@ -205,4 +205,49 @@ class CdcPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("msgpack batching: windowed prefix-sum == sequential packer fold on random streams") {
+    import spark.implicits._
+    // Random per-channel streams with sizes straddling the oversize
+    // threshold at varying densities (including none and many), sparse AND
+    // dense event ids (bucket boundaries exercised both ways), and small
+    // maxCount so count flushes interleave with size flushes. The reference
+    // fold: append; if THIS msg's size > maxBytes flush (counter resets);
+    // else counter++ and flush at maxCount; non-empty tail stays open.
+    def packerFold(msgs: Seq[(Long, Long)], maxCount: Int, maxBytes: Long)
+        : Seq[(Long, Long, Long, Long, String)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
+      var pack = List.empty[(Long, Long)]
+      var count = 0
+      def flush(reason: String): Unit = {
+        out += ((pack.size.toLong, pack.map(_._2).sum, pack.head._1, pack.last._1, reason))
+        pack = Nil; count = 0
+      }
+      msgs.sortBy(_._1).foreach { case (id, sz) =>
+        pack = pack :+ ((id, sz))
+        if (sz > maxBytes) flush("size")
+        else { count += 1; if (count >= maxCount) flush("count") }
+      }
+      if (pack.nonEmpty) flush("open")
+      out.toSeq
+    }
+    val genStream = for {
+      n <- Gen.choose(1, 400)
+      stride <- Gen.oneOf(1L, 7L, 5000L) // dense, co-prime-ish, bucket-jumping
+      ovProb <- Gen.oneOf(0.0, 0.1, 0.6)
+      sizes <- Gen.listOfN(n, Gen.prob(ovProb).flatMap(ov =>
+        if (ov) Gen.choose(1001L, 5000L) else Gen.choose(1L, 1000L)))
+    } yield sizes.zipWithIndex.map { case (sz, i) => (i * stride + 1, sz) }
+    (1 to 12).foreach { i =>
+      val msgs = genStream.pureApply(params, Seed(7000L + i))
+      val expected = packerFold(msgs, maxCount = 5, maxBytes = 1000L)
+      val df = msgs.map { case (id, sz) => (0L, id, sz) }.toDF("channel", "event_id", "sz")
+      val got = graft.cdc.Cdc.msgpackBatchFrom(df, 5, 1000L)
+        .orderBy(col("batch_id")).collect()
+        .map(r => (r.getAs[Long]("n_msgs"), r.getAs[Long]("batch_bytes"),
+          r.getAs[Long]("first_event_id"), r.getAs[Long]("last_event_id"),
+          r.getAs[String]("reason"))).toSeq
+      assert(got === expected, s"seed ${7000L + i}: ${msgs.take(20)}...")
+    }
+  }
 }
