@@ -221,35 +221,6 @@ class CdcControlSpec extends SparkSpec {
     out.unpersist()
   }
 
-  /** Direct replay of packer.Receive (server/msgpacker/packer.go:57-90 +
-    * pack_checker.go MsgCountChecker): append; flush if THIS message's size
-    * exceeds maxBytes (count checker never increments, but resets); else
-    * count++ and flush at maxCount. Returns per-batch
-    * (n_msgs, bytes, firstId, lastId, reason) in order; a non-empty tail is
-    * 'open' (the wall-clock timer would flush it).
-    */
-  private def goPacker(msgs: Seq[(Long, Long)], maxCount: Int,
-      maxBytes: Long): Seq[(Long, Long, Long, Long, String)] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
-    var pack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    var count = 0
-    def flush(reason: String): Unit = {
-      out += ((pack.size.toLong, pack.map(_._2).sum, pack.head._1, pack.last._1, reason))
-      pack = scala.collection.mutable.ArrayBuffer.empty
-      count = 0
-    }
-    msgs.sortBy(_._1).foreach { case (id, sz) =>
-      pack += ((id, sz))
-      if (sz > maxBytes) flush("size")
-      else {
-        count += 1
-        if (count >= maxCount) flush("count")
-      }
-    }
-    if (pack.nonEmpty) flush("open")
-    out.toSeq
-  }
-
   test("msgpack_batch matches a direct replay of packer.Receive (count, size, open tails)") {
     // One channel exercising every rule: two count-capped packs, a pack cut
     // short by an oversize message, back-to-back oversize messages
@@ -262,7 +233,7 @@ class CdcControlSpec extends SparkSpec {
       (Seq.fill(9)(40L) :+ 5555L) ++                      // 10th msg oversize → 'size'
       Seq(30L, 30L, 30L)                                  // open tail of 3
     val msgs = sizes.zipWithIndex.map { case (sz, i) => (i.toLong * 7 + 3, sz) }
-    val expected = goPacker(msgs, maxCount = 10, maxBytes = 1000L)
+    val expected = PackerReference.fold(msgs, maxCount = 10, maxBytes = 1000L)
     val df = msgs.map { case (id, sz) => (0L, id, sz) }
       .toDF("channel", "event_id", "sz")
     val got = Cdc.msgpackBatchFrom(df, 10, 1000L)

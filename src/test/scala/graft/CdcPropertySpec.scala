@@ -211,26 +211,8 @@ class CdcPropertySpec extends SparkSpec {
     // Random per-channel streams with sizes straddling the oversize
     // threshold at varying densities (including none and many), sparse AND
     // dense event ids (bucket boundaries exercised both ways), and small
-    // maxCount so count flushes interleave with size flushes. The reference
-    // fold: append; if THIS msg's size > maxBytes flush (counter resets);
-    // else counter++ and flush at maxCount; non-empty tail stays open.
-    def packerFold(msgs: Seq[(Long, Long)], maxCount: Int, maxBytes: Long)
-        : Seq[(Long, Long, Long, Long, String)] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, String)]
-      var pack = List.empty[(Long, Long)]
-      var count = 0
-      def flush(reason: String): Unit = {
-        out += ((pack.size.toLong, pack.map(_._2).sum, pack.head._1, pack.last._1, reason))
-        pack = Nil; count = 0
-      }
-      msgs.sortBy(_._1).foreach { case (id, sz) =>
-        pack = pack :+ ((id, sz))
-        if (sz > maxBytes) flush("size")
-        else { count += 1; if (count >= maxCount) flush("count") }
-      }
-      if (pack.nonEmpty) flush("open")
-      out.toSeq
-    }
+    // maxCount so count flushes interleave with size flushes; expected
+    // values come from the shared [[PackerReference]] sequential replay.
     val genStream = for {
       n <- Gen.choose(1, 400)
       stride <- Gen.oneOf(1L, 7L, 5000L) // dense, co-prime-ish, bucket-jumping
@@ -240,7 +222,7 @@ class CdcPropertySpec extends SparkSpec {
     } yield sizes.zipWithIndex.map { case (sz, i) => (i * stride + 1, sz) }
     (1 to 12).foreach { i =>
       val msgs = genStream.pureApply(params, Seed(7000L + i))
-      val expected = packerFold(msgs, maxCount = 5, maxBytes = 1000L)
+      val expected = PackerReference.fold(msgs, maxCount = 5, maxBytes = 1000L)
       val df = msgs.map { case (id, sz) => (0L, id, sz) }.toDF("channel", "event_id", "sz")
       val got = graft.cdc.Cdc.msgpackBatchFrom(df, 5, 1000L)
         .orderBy(col("batch_id")).collect()

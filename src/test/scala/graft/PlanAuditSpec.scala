@@ -173,16 +173,17 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("text_contamination: native winnow expression, cached kept frame, no cartesian") {
-    val plan = planOf(graft.operators.Text.contamination(spark, sfDir))
-    assert(plan.toLowerCase.contains("winnowfingerprints"),
-      "the fingerprint stage must run the codegen'd rolling-hash expression")
-    assert(!plan.contains("aggregate(sequence") && !plan.contains("slice("),
-      "the interpreted per-position HOF formulation must never return (the r5 bench killer)")
-    assert(plan.contains("InMemoryTableScan"),
-      s"the self-join must read the cached kept frame, not recompute fingerprints:\n${plan.take(2000)}")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      "pair generation must stay an fp equi-join")
-    graft.operators.Text.clearCaches()
+    try {
+      val plan = planOf(graft.operators.Text.contamination(spark, sfDir))
+      assert(plan.toLowerCase.contains("winnowfingerprints"),
+        "the fingerprint stage must run the codegen'd rolling-hash expression")
+      assert(!plan.contains("aggregate(sequence") && !plan.contains("slice("),
+        "the interpreted per-position HOF formulation must never return (the r5 bench killer)")
+      assert(plan.contains("InMemoryTableScan"),
+        s"the self-join must read the cached kept frame, not recompute fingerprints:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        "pair generation must stay an fp equi-join")
+    } finally graft.operators.Text.clearCaches() // a failed assert must not leak caches
   }
 
   test("cdc_msgpack_batch: prefix sums decompose over (channel, bucket), partials map-side") {
