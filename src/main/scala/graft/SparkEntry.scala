@@ -92,6 +92,7 @@ object SparkEntry {
     "text_contamination" -> ((s, d) => Text.contamination(s, d)),
     "cdc_msgpack_batch" -> ((s, d) => graft.cdc.Cdc.msgpackBatch(s, d)),
     "cdc_task_metrics" -> (graft.cdc.Cdc.taskMetrics _),
+    "stream_msgpack_batch" -> ((s, d) => graft.streaming.CdcStream.msgpackBatch(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -533,6 +534,11 @@ object SparkEntry {
         |FROM w""".stripMargin,
     "text_contamination" -> contaminationOracleSql,
     "cdc_msgpack_batch" -> msgpackBatchOracleSql,
+    // The live packer emits a pack the moment it closes; its open tails are
+    // still sitting in packer state, so the streaming answer is the batch
+    // audit minus `open` rows — stated verbatim.
+    "stream_msgpack_batch" ->
+      s"SELECT * FROM (\n$msgpackBatchOracleSql\n) WHERE reason <> 'open'",
     "cdc_task_metrics" ->
       """WITH m AS (
         |  SELECT CAST(user_id % 4 AS BIGINT) AS task_id,

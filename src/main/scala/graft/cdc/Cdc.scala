@@ -963,7 +963,7 @@ object Cdc {
     * exceed [[PackMaxMsgBytes]], so both flush rules and the open tail all
     * occur on every channel.
     */
-  private def packMsgBytes: Column =
+  private[graft] def packMsgBytes: Column =
     lit(100L) + pmod(col("event_id") * 37L, lit(1000L))
 
   /** Batch-boundary audit for the target-side message packer

@@ -18,6 +18,46 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(key(live) == key(batch))
   }
 
+  test("stream_msgpack_batch equals the batch audit minus its open tails") {
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("channel"), r.getAs[Long]("batch_id"), r.getAs[Long]("n_msgs"),
+        r.getAs[Long]("batch_bytes"), r.getAs[Long]("first_event_id"),
+        r.getAs[Long]("last_event_id"), r.getAs[String]("reason"))).toSet
+    val live = key(CdcStream.msgpackBatch(spark, sfDir).collect())
+    val batch = key(graft.cdc.Cdc.msgpackBatch(spark, sfDir)
+      .filter(col("reason") =!= "open").collect())
+    assert(live.nonEmpty, "the live packer must close packs on this stream")
+    assert(live == batch)
+  }
+
+  test("packer state carries the open pack across microbatches (MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcStream.PackMsg]
+    val packs = input.toDS().groupByKey(_.channel)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(CdcStream.foldPacker(3, 100L))
+    val q = packs.toDF().writeStream.format("memory")
+      .queryName("spec_packer_inc").outputMode("append").start()
+    // Batch 1: two small messages — pack stays OPEN, nothing may emit.
+    input.addData(CdcStream.PackMsg(0L, 1L, 10L), CdcStream.PackMsg(0L, 2L, 20L))
+    q.processAllAvailable()
+    assert(spark.table("spec_packer_inc").count() === 0L,
+      "an unfilled pack must stay in state, not emit")
+    // Batch 2: third message closes by count ACROSS the batch boundary;
+    // an oversize message then closes its own singleton pack by size.
+    input.addData(CdcStream.PackMsg(0L, 3L, 30L), CdcStream.PackMsg(0L, 4L, 999L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("spec_packer_inc").collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("n_msgs"),
+        r.getAs[Long]("batch_bytes"), r.getAs[Long]("first_event_id"),
+        r.getAs[Long]("last_event_id"), r.getAs[String]("reason"))).toSet
+    assert(out === Set(
+      (1L, 3L, 60L, 1L, 3L, "count"),
+      (2L, 1L, 999L, 4L, 4L, "size")))
+  }
+
   test("stream_cdc_state folds incrementally across microbatches (MemoryStream)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
