@@ -261,9 +261,10 @@ object Cdc {
     * set-oriented operator.
     *
     * Spark-first as-of: instead of an inequality join (quadratic), union the
-    * probe rows into the stream, sort once per channel, and carry the
-    * running max of struct(ts, event_id) — every probe row reads its answer
-    * from the running state. One shuffle + sort, linear in stream + probes.
+    * probe rows into the stream and carry the running max of
+    * struct(ts, event_id) — every probe row reads its answer from the
+    * running state. Linear in stream + probes, and (via [[seekAsofFrom]]'s
+    * ts-bucket decomposition) parallel in data, not channel count.
     */
   def seekAsof(spark: SparkSession, dir: String, ddlStride: Long = 500L): DataFrame = {
     val ev = events(spark, dir)
@@ -271,18 +272,62 @@ object Cdc {
       .select(col("event_id").as("ddl_id"), col("ts").as("ddl_ts"))
     val channels = spark.range(NumChannels).select(col("id").as("channel"))
     val probes = ddls.crossJoin(broadcast(channels))
-      .select(col("channel"), col("ddl_ts").as("ts"),
-        lit(null).cast("long").as("event_id"), lit(1).as("is_probe"), col("ddl_id"))
+      .select(col("channel"), col("ddl_ts").as("ts"), col("ddl_id"))
     val stream = ev.select(pmod(col("user_id"), lit(NumChannels)).as("channel"),
-      col("ts"), col("event_id"), lit(0).as("is_probe"), lit(null).cast("long").as("ddl_id"))
-    // Order events before probes at equal ts so "at-or-before" includes ties.
-    val w = Window.partitionBy(col("channel"))
+      col("ts"), col("event_id"))
+    seekAsofFrom(stream, probes)
+  }
+
+  /** Backward-as-of algebra on arbitrary (channel, ts, event_id) stream +
+    * (channel, ts, ddl_id) probe frames — the mirror image of
+    * [[barrierTsFrom]]'s forward case.
+    *
+    * A single `Window.partitionBy(channel)` over stream ∪ probes would cap
+    * parallelism at the channel count forever — each task sorts
+    * 1/NumChannels of the 100 TB history (the exact bottleneck
+    * [[orderingAudit]] and [[barrierTsFrom]] decompose away). The running
+    * struct-max decomposes identically over ts buckets:
+    * pos = greatest(within-bucket running max up to the probe,
+    * max over EARLIER buckets' event struct-maxima). The per-row window
+    * partitions by (channel, bucket) so tasks scale with data; the
+    * cross-bucket prefix-max runs over the tiny (channel, bucket) grid.
+    * Bucket = floor(ts seconds / bucketWidth) — monotone in ts, so an
+    * event ≤ the probe's ts is either in its bucket or an earlier one.
+    * Ties: events sort before probes at equal ts, so "at-or-before"
+    * includes a message exactly at the probe ts.
+    */
+  private[graft] def seekAsofFrom(stream: DataFrame, probes: DataFrame,
+      bucketWidth: Long = 86400L): DataFrame = {
+    val evIdType = stream.schema("event_id").dataType
+    val ddlIdType = probes.schema("ddl_id").dataType
+    val evU = stream.select(col("channel"), col("ts"), col("event_id"),
+      lit(0).as("is_probe"), lit(null).cast(ddlIdType).as("ddl_id"))
+    val prU = probes.select(col("channel"), col("ts"),
+      lit(null).cast(evIdType).as("event_id"), lit(1).as("is_probe"), col("ddl_id"))
+    val all = evU.unionAll(prU)
+      .withColumn("bucket", expr(s"CAST(ts AS LONG) DIV $bucketWidth"))
+    // Per-(channel, bucket) event struct-maxima INCLUDING probe-only
+    // buckets (bmax null there), so every probe row finds its grid row.
+    val wEarlier = Window.partitionBy(col("channel")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketGrid = all.groupBy(col("channel"), col("bucket"))
+      .agg(max(when(col("is_probe") === 0, struct(col("ts"), col("event_id"))))
+        .as("bmax"))
+      .withColumn("earlier_max", max(col("bmax")).over(wEarlier))
+      .drop("bmax")
+    val wIn = Window.partitionBy(col("channel"), col("bucket"))
       .orderBy(col("ts"), col("is_probe"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    stream.unionAll(probes)
-      .withColumn("pos",
-        max(when(col("is_probe") === 0, struct(col("ts"), col("event_id")))).over(w))
-      .filter(col("is_probe") === 1 && col("pos").isNotNull)
+    // Shuffle join on (channel, bucket) — AQE broadcasts the tiny grid;
+    // at extreme bucket counts it stays a hash join co-partitioned with
+    // the per-row window's shuffle (same shape as [[orderingAudit]]).
+    all
+      .withColumn("in_bucket_max",
+        max(when(col("is_probe") === 0, struct(col("ts"), col("event_id")))).over(wIn))
+      .filter(col("is_probe") === 1)
+      .join(bucketGrid, Seq("channel", "bucket"))
+      .withColumn("pos", greatest(col("in_bucket_max"), col("earlier_max")))
+      .filter(col("pos").isNotNull)
       .select(col("ddl_id"), col("channel"),
         col("pos.ts").as("pos_ts"), col("pos.event_id").as("pos_event_id"))
   }

@@ -180,6 +180,40 @@ class CdcPropertySpec extends SparkSpec {
     }
   }
 
+  test("seek as-of: bucket-decomposed backward as-of == brute force, any bucket width") {
+    import spark.implicits._
+    val genEv: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(for {
+      c <- Gen.choose(0L, 2L)
+      ts <- Gen.choose(0L, 20L) // ties + probe-equal ts on purpose
+    } yield (c, ts))
+    val genProbe: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(for {
+      c <- Gen.choose(0L, 2L)
+      ts <- Gen.choose(0L, 25L)
+    } yield (c, ts))
+    (1 to 15).foreach { i =>
+      val evs = genEv.pureApply(params, Seed(6000L + i)).zipWithIndex
+        .map { case ((c, ts), idx) => (c, ts, idx.toLong) }
+      val probes = genProbe.pureApply(params, Seed(7000L + i)).distinct
+        .zipWithIndex.map { case ((c, ts), idx) => (c, ts, idx.toLong) }
+      val evDf = evs.toDF("channel", "ts", "event_id")
+      val prDf = probes.map { case (c, ts, id) => (c, ts, id) }
+        .toDF("channel", "ts", "ddl_id")
+      val expected = (for {
+        (c, pts, id) <- probes
+        eligible = evs.collect { case (ec, ets, eid) if ec == c && ets <= pts => (ets, eid) }
+        if eligible.nonEmpty
+      } yield (id, c, eligible.max._1, eligible.max._2)).toSet
+      // Widths force single-bucket, multi-bucket, and bucket-per-tick
+      // regimes — the decomposition must be invisible in the answer.
+      Seq(1L, 5L, 1000L).foreach { width =>
+        val got = graft.cdc.Cdc.seekAsofFrom(evDf, prDf, width)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(got == expected, s"iteration $i width $width")
+      }
+    }
+  }
+
   test("position codec: columnar protobuf roundtrips on adversarial generated positions") {
     // The corpus only exercises 2024 timestamps and small event ids; pin
     // the codec on the whole valid domain — any ms epoch past 1980 (TSO

@@ -186,6 +186,21 @@ class PlanAuditSpec extends SparkSpec {
     } finally graft.operators.Text.clearCaches() // a failed assert must not leak caches
   }
 
+  test("cdc_seek_asof: backward as-of decomposes over (channel, bucket)") {
+    val plan = planOf(Cdc.seekAsof(spark, sfDir))
+    // The row-level window must be keyed by (channel, bucket) — a bare
+    // channel partition would cap as-of parallelism at NumChannels forever.
+    // (`, ts#` right after the bucket key distinguishes the per-row window
+    // from the cross-bucket grid window, whose FIRST order key is bucket.)
+    assert("windowspecdefinition\\(channel#\\d+L?, bucket#\\d+L?, ts#".r
+      .findFirstIn(plan).isDefined,
+      s"running struct-max must partition by (channel, bucket):\n${plan.take(2000)}")
+    assert("windowspecdefinition\\(channel#\\d+L?, ts#".r.findFirstIn(plan).isEmpty,
+      "no per-row window may partition by bare channel")
+    assert(!plan.contains("CartesianProduct"),
+      "probe grid must broadcast the channel frame, never cartesian the stream")
+  }
+
   test("cdc_msgpack_batch: prefix sums decompose over (channel, bucket), partials map-side") {
     val plan = planOf(Cdc.msgpackBatch(spark, sfDir))
     assert(plan.contains("partial_"), "bucket stats must partial-aggregate map-side")
