@@ -93,6 +93,7 @@ object SparkEntry {
     "cdc_msgpack_batch" -> ((s, d) => graft.cdc.Cdc.msgpackBatch(s, d)),
     "cdc_task_metrics" -> (graft.cdc.Cdc.taskMetrics _),
     "stream_msgpack_batch" -> ((s, d) => graft.streaming.CdcStream.msgpackBatch(s, d)),
+    "cdc_channel_mapping" -> (graft.cdc.Cdc.channelMapping _),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -983,6 +984,44 @@ object SparkEntry {
         |  epoch_ms(pos_ts) AS decoded_phys_ms,
         |  TRUE AS roundtrip_ok
         |FROM enc""".stripMargin,
+    // Deterministic restatement of channel_mapping.go's greedy fill:
+    // in index order, key idx on the bigger side maps to idx DIV
+    // averageCnt on the smaller side (averageCnt = ceil ratio).
+    "cdc_channel_mapping" ->
+      """WITH src AS (
+        |  SELECT DISTINCT CAST(user_id % 4 AS BIGINT) AS src_idx FROM events),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS source_cnt FROM src),
+        |scen(scenario, target_cnt) AS (VALUES
+        |  ('merge', CAST(3 AS BIGINT)), ('same', CAST(4 AS BIGINT)),
+        |  ('split', CAST(6 AS BIGINT))),
+        |grid AS (
+        |  SELECT scenario, target_cnt, source_cnt,
+        |    CASE WHEN source_cnt = target_cnt THEN 'same'
+        |         WHEN source_cnt > target_cnt THEN 'source_more'
+        |         ELSE 'target_more' END AS mode,
+        |    CASE WHEN source_cnt = target_cnt THEN CAST(1 AS BIGINT)
+        |         WHEN source_cnt > target_cnt
+        |           THEN (source_cnt + target_cnt - 1) // target_cnt
+        |         ELSE (target_cnt + source_cnt - 1) // source_cnt
+        |    END AS average_cnt
+        |  FROM scen, m),
+        |keys AS (
+        |  SELECT g.*, unnest(generate_series(0, greatest(source_cnt, target_cnt) - 1))
+        |    AS key_idx
+        |  FROM grid g),
+        |mapped AS (
+        |  SELECT *,
+        |    CASE WHEN mode = 'target_more' THEN key_idx // average_cnt
+        |         ELSE key_idx END AS src_idx,
+        |    CASE WHEN mode = 'source_more' THEN key_idx // average_cnt
+        |         ELSE key_idx END AS tgt_idx
+        |  FROM keys)
+        |SELECT scenario, mode,
+        |  CASE WHEN mode = 'target_more' THEN 'target' ELSE 'source' END AS key_side,
+        |  source_cnt, target_cnt, average_cnt,
+        |  'by-dev-rootcoord-dml_' || src_idx AS source_channel,
+        |  'target-rootcoord-dml_' || tgt_idx AS target_channel
+        |FROM mapped JOIN src USING (src_idx)""".stripMargin,
     "cdc_name_mapping" ->
       """WITH cw AS (
         |  SELECT CAST(user_id % 3 AS BIGINT) AS collection_id,

@@ -611,6 +611,78 @@ object Cdc {
         col("rule"), col("collection_watermark"), col("msgs"))
   }
 
+  /** N:M channel mapping between clusters of unequal channel counts —
+    * core/util/channel_mapping.go:27-60: equal counts map 1:1; more
+    * source channels merge up to `averageCnt` sources into each target;
+    * more target channels split each source across up to `averageCnt`
+    * targets, with averageCnt = ceil(bigger/smaller)
+    * (channel_mapping.go:64-80 `average`). The runtime fills the map
+    * greedily as channels arrive, capping each smaller-side channel at
+    * averageCnt assignments (CheckKeyNotExist:101-125); with channels
+    * processed in index order that greedy IS idx DIV averageCnt — the
+    * deterministic set-oriented restatement used here. A tail channel can
+    * stay unassigned when averageCnt × (smallerCnt − 1) ≥ biggerCnt —
+    * faithful to the reference's fill order. The map key is the
+    * more-numerous side (UsingSourceKey:96-98), surfaced as `key_side`.
+    *
+    * Three scenarios cover all branches against the stream's own channel
+    * set: a smaller target cluster (merge), an equal one (same), a larger
+    * one (split).
+    */
+  def channelMapping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = events(spark, dir)
+      .select(pmod(col("user_id"), lit(NumChannels)).cast("long").as("src_idx"))
+      .distinct()
+    val scenarios = Seq(("merge", 3L), ("same", 4L), ("split", 6L))
+      .toDF("scenario", "target_cnt")
+    channelMappingResolve(src, scenarios)
+  }
+
+  /** Mapping algebra on arbitrary (src_idx) × (scenario, target_cnt)
+    * frames — exercised directly by the reference-vector spec
+    * (channel_mapping.go's sourceCnt >/=/< targetCnt regimes).
+    *
+    * Scale: pure cluster metadata — one map-side-combined distinct over
+    * the stream's channel key reduced to a channel-count frame; the grid
+    * of assignments is scenarios × max(channel counts) rows, broadcast
+    * everywhere. The event stream itself is never re-shuffled.
+    */
+  private[graft] def channelMappingResolve(srcChannels: DataFrame,
+      scenarios: DataFrame): DataFrame = {
+    val srcCnt = srcChannels.agg(count(lit(1)).cast("long").as("source_cnt"))
+    scenarios.crossJoin(broadcast(srcCnt))
+      .withColumn("mode",
+        when(col("source_cnt") === col("target_cnt"), lit("same"))
+          .when(col("source_cnt") > col("target_cnt"), lit("source_more"))
+          .otherwise(lit("target_more")))
+      .withColumn("average_cnt",
+        when(col("mode") === "same", lit(1L))
+          .when(col("mode") === "source_more",
+            expr("(source_cnt + target_cnt - 1) DIV target_cnt"))
+          .otherwise(expr("(target_cnt + source_cnt - 1) DIV source_cnt")))
+      .withColumn("key_idx",
+        explode(expr(
+          "sequence(CAST(0 AS BIGINT), greatest(source_cnt, target_cnt) - 1)")))
+      .withColumn("src_idx",
+        when(col("mode") === "target_more", expr("key_idx DIV average_cnt"))
+          .otherwise(col("key_idx")))
+      .withColumn("tgt_idx",
+        when(col("mode") === "source_more", expr("key_idx DIV average_cnt"))
+          .otherwise(col("key_idx")))
+      // Inner-join the stream's actual channel frame: a mapping row only
+      // exists for channels the source cluster really carries.
+      .join(broadcast(srcChannels), Seq("src_idx"))
+      .select(col("scenario"), col("mode"),
+        when(col("mode") === "target_more", lit("target")).otherwise(lit("source"))
+          .as("key_side"),
+        col("source_cnt"), col("target_cnt"), col("average_cnt"),
+        concat(lit("by-dev-rootcoord-dml_"), col("src_idx").cast("string"))
+          .as("source_channel"),
+        concat(lit("target-rootcoord-dml_"), col("tgt_idx").cast("string"))
+          .as("target_channel"))
+  }
+
   /** Kafka sink message format — the reference's Kafka downstream marshals
     * each change as JSON (core/writer/kafka_formatter.go:30-34 KafkaFormat
     * {name, type, value} per column; Format(): InsertParam → a JSON ARRAY of

@@ -23,6 +23,48 @@ class ReferenceVectorsSpec extends SparkSpec {
     assert(maxes == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("channel mapping vectors: merge 5→2 / split 2→5 fill by averageCnt (channel_mapping.go:27-80)") {
+    import spark.implicits._
+    def pairs(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getAs[String]("source_channel") -> r.getAs[String]("target_channel")).toSet
+    // sourceCnt > targetCnt: averageCnt = ceil(5/2) = 3; greedy index-order
+    // fill caps each target at 3 sources (CheckKeyNotExist) →
+    // s0,s1,s2 → t0; s3,s4 → t1. Map key = source side.
+    val src5 = (0L to 4L).toDF("src_idx")
+    val merge = Cdc.channelMappingResolve(src5,
+      Seq(("m", 2L)).toDF("scenario", "target_cnt")).collect()
+    assert(merge.forall(r => r.getAs[Long]("average_cnt") == 3L &&
+      r.getAs[String]("mode") == "source_more" &&
+      r.getAs[String]("key_side") == "source"))
+    assert(pairs(merge) == Set(
+      "by-dev-rootcoord-dml_0" -> "target-rootcoord-dml_0",
+      "by-dev-rootcoord-dml_1" -> "target-rootcoord-dml_0",
+      "by-dev-rootcoord-dml_2" -> "target-rootcoord-dml_0",
+      "by-dev-rootcoord-dml_3" -> "target-rootcoord-dml_1",
+      "by-dev-rootcoord-dml_4" -> "target-rootcoord-dml_1"))
+    // sourceCnt < targetCnt: averageCnt = ceil(5/2) = 3; each source takes
+    // at most 3 targets → t0,t1,t2 → s0; t3,t4 → s1. Map key = target side.
+    val src2 = (0L to 1L).toDF("src_idx")
+    val split = Cdc.channelMappingResolve(src2,
+      Seq(("s", 5L)).toDF("scenario", "target_cnt")).collect()
+    assert(split.forall(r => r.getAs[Long]("average_cnt") == 3L &&
+      r.getAs[String]("mode") == "target_more" &&
+      r.getAs[String]("key_side") == "target"))
+    assert(pairs(split) == Set(
+      "by-dev-rootcoord-dml_0" -> "target-rootcoord-dml_0",
+      "by-dev-rootcoord-dml_0" -> "target-rootcoord-dml_1",
+      "by-dev-rootcoord-dml_0" -> "target-rootcoord-dml_2",
+      "by-dev-rootcoord-dml_1" -> "target-rootcoord-dml_3",
+      "by-dev-rootcoord-dml_1" -> "target-rootcoord-dml_4"))
+    // Equal counts: identity, averageCnt = 1 (channel_mapping.go:65-67).
+    val same = Cdc.channelMappingResolve(src2,
+      Seq(("e", 2L)).toDF("scenario", "target_cnt")).collect()
+    assert(same.forall(r => r.getAs[Long]("average_cnt") == 1L))
+    assert(pairs(same) == Set(
+      "by-dev-rootcoord-dml_0" -> "target-rootcoord-dml_0",
+      "by-dev-rootcoord-dml_1" -> "target-rootcoord-dml_1"))
+  }
+
   test("data barrier vector: fires at ts 2 once BOTH channels pass (data_barrier_test.go:33-64)") {
     // The Go test: a barrier over 2 channels receives time-ticks at ts 2 on
     // v1 and v2; the callback fires with msgTs = 2. With only one channel
