@@ -44,18 +44,42 @@ object CdcStream {
   private val Sentinel = Long.MinValue
   private val nameSeq = new AtomicInteger(0)
 
-  /** Names of drained memory-sink temp views not yet dropped. Each drain
-    * registers one; a long-lived session (graft.Bench) calls [[dropSinks]]
-    * after consuming a query so sink rows don't accumulate on the driver
-    * heap across the suite. Already-returned DataFrames keep working — they
-    * hold the resolved plan, not the view name.
+  /** (owning session, view name) of drained memory-sink temp views not yet
+    * dropped. Each drain registers one; a long-lived session (graft.Bench)
+    * calls [[dropSinks]] after consuming a query so sink rows don't
+    * accumulate on the driver heap across the suite. Already-returned
+    * DataFrames keep working — they hold the resolved plan, not the view
+    * name. Pairs (not bare names) so cleanup hits the session that
+    * registered the view even if multiple sessions share the JVM.
     */
-  private val liveSinks = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val liveSinks =
+    scala.collection.mutable.ArrayBuffer.empty[(SparkSession, String)]
 
-  /** Drop every drained memory-sink temp view registered so far. */
-  def dropSinks(spark: SparkSession): Unit = liveSinks.synchronized {
-    liveSinks.foreach(spark.catalog.dropTempView(_))
-    liveSinks.clear()
+  /** Parquet-sink drain dirs not yet cleaned ([[drainParquet]]). */
+  private val liveDirs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+
+  /** Drop every drained memory-sink temp view registered so far (each via
+    * its owning session; the passed session is only the caller's default)
+    * and delete parquet-drain temp dirs. DataFrames returned by a
+    * memory-sink drain keep working afterwards (they hold the resolved
+    * plan); frames returned by [[drainParquet]] do NOT — consume them
+    * before cleanup (graft.Bench counts each query before dropping).
+    */
+  def dropSinks(spark: SparkSession): Unit = {
+    liveSinks.synchronized {
+      liveSinks.foreach { case (owner, name) => owner.catalog.dropTempView(name) }
+      liveSinks.clear()
+    }
+    liveDirs.synchronized {
+      liveDirs.foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(d)
+      }
+      liveDirs.clear()
+    }
   }
 
   /** The events parquet as an unbounded stream (file source; ts arrives as
@@ -92,25 +116,76 @@ object CdcStream {
     // executors × keys, independently of the batch setting.
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
     spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+    // A bounded drain needs the post-data no-data microbatch ONLY when the
+    // sink's emission is watermark-driven (append-mode windowed aggs); for
+    // update/complete folds and data-batch-emitting append queries it is a
+    // pure extra batch round (plan + state commit) per drain — skip it.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      awaitNoDataBatch.toString)
     try {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
       // Register for cleanup as soon as the sink exists — a drain that
       // fails later must still leave its view droppable.
-      liveSinks.synchronized { liveSinks += name }
-      q.processAllAvailable()
-      if (awaitNoDataBatch) {
-        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-        while (!q.recentProgress.exists(p => p.numInputRows == 0 && p.batchId > 0) &&
-            System.nanoTime() < deadline) {
-          Thread.sleep(25)
-          q.processAllAvailable()
+      liveSinks.synchronized { liveSinks += ((spark, name)) }
+      // stop() in finally: a throw from processAllAvailable (or the
+      // no-data wait) must not leave the query running for the rest of
+      // the session — under a catch-and-continue bench that would leak
+      // one live query per pass.
+      try {
+        q.processAllAvailable()
+        if (awaitNoDataBatch) {
+          val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+          while (!q.recentProgress.exists(p => p.numInputRows == 0 && p.batchId > 0) &&
+              System.nanoTime() < deadline) {
+            Thread.sleep(25)
+            q.processAllAvailable()
+          }
         }
-      }
-      q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     df.sparkSession.table(name)
+  }
+
+  /** Run a streaming DataFrame to completion into a PARQUET sink (per
+    * microbatch append via foreachBatch — the lake-table shape
+    * [[replicate]] demonstrates) and read the result back.
+    *
+    * This is the drain for six-figure-row emissions: a memory sink
+    * collects every emitted row into the driver, which is exactly the
+    * collect-to-driver anti-pattern at scale — the parquet drain keeps
+    * the emission distributed end-to-end (executors write, executors
+    * read). The returned frame reads the drain dir, so consume it before
+    * [[dropSinks]] cleans the dir.
+    */
+  private def drainParquet(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft-drain-").toFile
+    liveDirs.synchronized { liveDirs += dir }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val q = df.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(dir.getPath)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+    spark.read.parquet(dir.getPath)
   }
 
   private[graft] def foldPk(userId: Long, evs: Iterator[Ev],
@@ -365,14 +440,17 @@ object CdcStream {
     * .kafkaFormat]], whose oracle it shares.
     *
     * Scale: stateless narrow projection per microbatch — throughput is the
-    * serializer alone; on a real pipeline the memory sink is the Kafka
-    * producer, one message per row keyed by channel.
+    * serializer alone; on a real pipeline the parquet drain is the Kafka
+    * producer, one message per row keyed by channel. Drained to parquet,
+    * not a memory sink: the emission is corpus-sized (one row per event),
+    * and collecting it into the driver is the anti-pattern the drain
+    * exists to avoid.
     */
   def kafkaFormat(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsStream(spark, dir)
       .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
         col("user_id"), col("event_type"), col("props"))
-    drain(graft.cdc.Cdc.kafkaFormatProjection(ev), "append")
+    drainParquet(graft.cdc.Cdc.kafkaFormatProjection(ev))
   }
 
   /** Streaming replay dedup: the reader's skip-state over a re-delivered
@@ -423,7 +501,10 @@ object CdcStream {
     val deduped = replayed
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id", "ts")
-    drain(deduped, "append")
+    // Parquet drain: the deduped emission is stream-sized (one row per
+    // surviving event) — keep it off the driver; the per-channel count
+    // runs as a parallel scan over the drained files.
+    drainParquet(deduped)
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("dedup_cnt"))
   }
