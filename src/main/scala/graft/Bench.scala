@@ -90,23 +90,39 @@ object Bench {
     // Optional dev knobs: SPARK_GRAFT_QUERIES=a,b,c to subset;
     // SPARK_GRAFT_REPEAT=n for n full passes (min per query reported).
     // Clamp to >= 1: repeat=0 would skip every query yet report them all
-    // as ok/0.0s — a fake-perfect bench.
+    // as ok/0.0s — a fake-perfect bench. NOTE: REPEAT=1 means COLD
+    // numbers — pass 1 is the JIT/codegen warmup, so a single pass
+    // measures cold compilation (±2x on sub-second queries); the default
+    // of 2 passes is the minimum for warm steady-state measurements.
     val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = timeQueries(spark, selected, sfDir, repeat)
-    // Errored queries get null, not their failure wall-time — the per-query
-    // map is self-describing even for a consumer that ignores `statuses`.
-    val qs = results.map { case (k, (v, s)) =>
+    // Errored queries get null, not their failure wall-time — the
+    // per-query map is self-describing even without the `errored` list.
+    val qs = results.toSeq.sortBy(_._1).map { case (k, (v, s)) =>
       s"\"" + k + "\":" + (if (s == "ok") v.toString else "null")
     }.mkString("{", ",", "}")
-    val st = results.map { case (k, (_, s)) => s"\"" + k + "\":\"" + s + "\"" }
-      .mkString("{", ",", "}")
+    val errored = results.collect { case (k, (_, s)) if s != "ok" => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val ok = results.filter { case (_, (_, s)) => s == "ok" }
     val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
     val nErr = results.size - ok.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"statuses":$st,"errors":$nErr,"sf":"$sfDir"}""")
+    // Field order matters: the driver records only a TAIL of the output,
+    // so the per-query map and the headline total sit at the END of the
+    // line — a truncated capture still carries the numbers that matter.
+    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$nErr,""" +
+      s""""errored":$errored,"queries":$qs,"value":$total}"""
+    // Full copy on disk regardless of how much of stdout survives.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out).getParent)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n"): Unit
+    } catch { case e: Exception =>
+      System.err.println(s"BENCH file write failed: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
   }
 }
