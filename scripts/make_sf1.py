@@ -10,10 +10,17 @@ Scaling strategy:
   %137) keeps uniform density; the user_id offset is a multiple of 12 so
   channel (%4) and collection (%3) hashing is preserved. Order keys offset
   jointly in orders+lineitem so the join structure replicates.
-- dimension-ish and content tables (customer, supplier, part, nation,
-  region, documents, embeddings) are copied as-is: the text/vector suites
-  are corpus-shaped (near-dup structure would degenerate into 10-cliques
-  if texts were replicated verbatim), so their scale point stays sf0.1.
+- documents: 10 near-dup replicas with CONTROLLED mutation — each replica
+  deterministically replaces ~10% of tokens with replica-unique tokens.
+  Token survival 0.9 -> 3-gram survival 0.9^3 ~= 0.73, so original<->replica
+  gram Jaccard ~= 0.73/1.27 ~= 0.57 (above the tau=0.5 LSH knee: an edge)
+  while replica<->replica ~= 0.73^2/(2-0.73^2) ~= 0.36 (below it: no edge).
+  Near-dup clusters are exactly the 10-doc replica groups with the original
+  as hub (diameter 2) — bounded, not degenerate 10-cliques of identical
+  text, so the dedup trio and contamination get a real 10x scale point.
+- dimension-ish tables (customer, supplier, part, nation, region,
+  embeddings) are copied as-is: replicated embeddings would create exact
+  duplicate vectors and degenerate the vector suites' top-k structure.
 
 Usage: python3 scripts/make_sf1.py [src_dir] [dst_dir] [factor]
 """
@@ -29,8 +36,9 @@ SRC = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
 DST = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata-sf1")
 FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
-COPY = ["customer", "supplier", "part", "nation", "region",
-        "documents", "embeddings"]
+COPY = ["customer", "supplier", "part", "nation", "region", "embeddings"]
+
+MUTATE_PCT = 10  # % of tokens replaced per replica (see module docstring)
 
 
 def round_up(n, mult):
@@ -51,10 +59,46 @@ def replicate(table, offsets):
     return pa.concat_tables(parts)
 
 
+def mutated_documents(docs):
+    """FACTOR near-dup replicas of each doc: replica i > 0 replaces token p
+    of doc d iff a deterministic hash of (d, i, p) falls under MUTATE_PCT,
+    with a replica-unique token (never shared across replicas, so replica
+    overlap comes only from jointly-surviving originals)."""
+    docs = docs.replace_schema_metadata(None)  # concat needs equal schemas
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    sources = docs.column("source").to_pylist()
+    d_off = round_up(max(doc_ids) + 1, 1000)
+    parts = [docs]
+    for i in range(1, FACTOR):
+        new_ids, new_texts, new_nchars = [], [], []
+        for did, text in zip(doc_ids, texts):
+            toks = text.split(" ")
+            out = [
+                f"m{i}p{p}" if (did * 97 + i * 131 + p * 2654435761) % 100 < MUTATE_PCT
+                else tok
+                for p, tok in enumerate(toks)
+            ]
+            t = " ".join(out)
+            new_ids.append(did + d_off * i)
+            new_texts.append(t)
+            new_nchars.append(len(t))
+        parts.append(pa.table(
+            [pa.array(new_ids, type=pa.int64()), pa.array(new_texts),
+             pa.array(langs), pa.array(sources),
+             pa.array(new_nchars, type=pa.int64())],
+            names=["doc_id", "text", "lang", "source", "n_chars"]))
+    return pa.concat_tables(parts)
+
+
 def main():
     DST.mkdir(parents=True, exist_ok=True)
     for t in COPY:
         shutil.copyfile(SRC / f"{t}.parquet", DST / f"{t}.parquet")
+
+    docs = pq.read_table(SRC / "documents.parquet")
+    pq.write_table(mutated_documents(docs), DST / "documents.parquet")
 
     ev = pq.read_table(SRC / "events.parquet")
     e_off = round_up(pc.max(ev.column("event_id")).as_py() + 1, 205500)
@@ -71,7 +115,8 @@ def main():
     pq.write_table(replicate(li, {"l_orderkey": o_off}),
                    DST / "lineitem.parquet")
     print(f"wrote {DST}: events x{FACTOR} (e_off={e_off}, u_off={u_off}), "
-          f"orders/lineitem x{FACTOR} (o_off={o_off}), {len(COPY)} copied")
+          f"orders/lineitem x{FACTOR} (o_off={o_off}), documents x{FACTOR} "
+          f"near-dup ({MUTATE_PCT}% token mutation), {len(COPY)} copied")
 
 
 if __name__ == "__main__":

@@ -1114,6 +1114,13 @@ object Cdc {
   /** The batching fold over an arbitrary (channel, event_id, sz) frame —
     * split out so the spec can replay the Go packer's semantics on
     * constructed streams (count-capped, size-capped, tail-open vectors).
+    *
+    * PRECONDITION: event_id is unique per channel (it is the MQ offset,
+    * which the reference's consumer reads in order, and both the testdata
+    * and every spec stream satisfy it). The row-level windows order by
+    * event_id alone, so duplicate ids on one channel would make seq/seg
+    * assignment nondeterministic and diverge from the sequential
+    * PackerReference fold.
     */
   private[graft] def msgpackBatchFrom(msgs: DataFrame, maxCount: Int,
       maxBytes: Long): DataFrame = {
