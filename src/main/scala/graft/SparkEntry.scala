@@ -298,11 +298,17 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
         |  min(doc_id) AS canonical_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+    // Gram identity is hash()-ed to 64 bits in the four pair-join oracles
+    // (same argument as the Spark side's xxhash64 shingles: set semantics
+    // preserved up to ~n^2/2^64 collisions), and the grams CTE is
+    // MATERIALIZED — without the hint DuckDB re-inlines the triple-
+    // referenced CTE into a plan that measured 35x slower at the 10x set
+    // (1601 s -> 45 s for this oracle).
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |grams AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, hash(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gram
         |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
         |  WHERE len(t) >= 3),
         |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
@@ -322,8 +328,8 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |grams AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, hash(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gram
         |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
         |  WHERE len(t) >= 3),
         |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
@@ -768,8 +774,8 @@ object SparkEntry {
     "dedup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |grams AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, hash(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gram
         |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
         |  WHERE len(t) >= 3),
         |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
@@ -1120,8 +1126,8 @@ object SparkEntry {
     "pipeline_clean_corpus" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
-        |grams AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |grams AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, hash(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gram
         |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
         |  WHERE len(t) >= 3),
         |cnt AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
