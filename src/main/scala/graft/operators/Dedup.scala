@@ -94,14 +94,20 @@ object Dedup {
           (col("ca.n") + col("cb.n") - col("s")).cast("double"), 4).as("jaccard")))
   }
 
-  /** MinHash signature length / LSH banding: K = B*R. R=2, B=16 targets the
-    * τ≈0.5 similarity knee: P(candidate | j) = 1-(1-j²)¹⁶ → 0.99 at j=0.5,
-    * 0.15 at j=0.1. (MinHash: Broder, "On the resemblance and containment
-    * of documents", 1997; banding analysis as in Mining of Massive Datasets
-    * ch. 3.)
+  /** MinHash signature length / LSH banding: K = B*R. R=2 sets the
+    * per-band collision probability j²; B=48 over-bands the τ≈0.5 knee so
+    * recall holds even for pairs sitting EXACTLY at the threshold:
+    * P(miss | j) = (1-j²)^B is 10⁻⁶ at j=0.5 (B=16's 1% miss rate showed
+    * up as 191 missed pairs on the 10x near-dup corpus, whose mutation
+    * puts thousands of pairs right at the knee — the round-7 10x
+    * cross-check caught it). Cost: 3× band rows, but candidates stay
+    * verify-bounded — at j=0.1 only 1-(1-0.01)⁴⁸ ≈ 38% of the already-
+    * sparse j≈0.1 pairs ever reach the exact-Jaccard verify join.
+    * (MinHash: Broder, "On the resemblance and containment of documents",
+    * 1997; banding analysis as in Mining of Massive Datasets ch. 3.)
     */
   private val R = 2
-  private val B = 16
+  private val B = 48
   private val K = R * B
 
   /** MinHash signatures: per doc, K min-hashes over its HASHED shingles —
@@ -205,8 +211,9 @@ object Dedup {
     * candidates stay ~linear, and the verify step inside [[minhashLsh]]
     * re-checks exact Jaccard ≥ τ, so the edge set equals the exact τ-pair
     * set whenever banding recall is 1 (tools/CheckLshRecall measures
-    * missed=0, extra=0 at sf0.001/0.01/0.1 for τ=0.5; at B=16/R=2 a missed
-    * pair needs all 16 bands to split a j ≥ 0.5 pair — P ≈ (1−j²)¹⁶ ≤ 1%).
+    * missed=0, extra=0 at sf0.001/0.01/0.1 AND the knee-heavy 10x corpus
+    * for τ=0.5; at B=48/R=2 a missed pair needs all 48 bands to split a
+    * j ≥ 0.5 pair — P ≈ (1−j²)⁴⁸ ≤ 10⁻⁶).
     * Below the knee banding recall collapses, so low-τ requests route to
     * the exact gram join instead (see the inline note). The recursive-CTE
     * oracle stays the exact transitive closure either way. PlanAuditSpec
@@ -215,7 +222,7 @@ object Dedup {
     */
   private[graft] def clusterEdges(spark: SparkSession, dir: String,
       tau: Double): DataFrame =
-    // The R=2/B=16 banding targets the τ≈0.5 knee; below it the candidate
+    // The R=2/B=48 banding targets the τ≈0.5 knee; below it the candidate
     // probability collapses (P = 1-(1-j²)^B ≈ 0.15 at j=0.1) and banding
     // would silently drop true edges — but a sub-knee τ also means a
     // near-quadratic OUTPUT, where the exact gram join is the correct

@@ -15,13 +15,15 @@ object CheckLshRecall {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
-      val dir = s"/root/testdata/$sf"
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("sf0.001", "sf0.01", "sf0.1").map(sf => s"/root/testdata/$sf")
+    dirs.foreach { dir =>
       val exact = Dedup.ngramJaccard(spark, dir, 0.5).select("doc_a", "doc_b")
       val lsh = Dedup.minhashLsh(spark, dir, 0.5).select("doc_a", "doc_b")
       val missed = exact.except(lsh).count()
       val extra = lsh.except(exact).count()
-      println(s"RECALL $sf exact=${exact.count()} missed=$missed extra=$extra")
+      println(s"RECALL $dir exact=${exact.count()} missed=$missed extra=$extra")
       // Release this SF's tracked shingle/pair caches before the next one —
       // the three SFs would otherwise accumulate in one session's storage.
       Dedup.clearCaches()
