@@ -214,6 +214,45 @@ class CdcPropertySpec extends SparkSpec {
     }
   }
 
+  test("channel mapping: idx DIV averageCnt == the reference's greedy first-fit, all count shapes") {
+    import spark.implicits._
+    // Direct restatement of channel_mapping.go's runtime: channels arrive
+    // in index order; AddKeyValue assigns each key-side channel to the
+    // first value-side channel CheckKeyNotExist admits (< averageCnt).
+    def greedy(srcCnt: Int, tgtCnt: Int): (Set[(Long, Long)], Long) =
+      if (srcCnt == tgtCnt) ((0 until srcCnt).map(i => (i.toLong, i.toLong)).toSet, 1L)
+      else if (srcCnt > tgtCnt) {
+        val avg = (srcCnt + tgtCnt - 1) / tgtCnt
+        val cnt = Array.fill(tgtCnt)(0)
+        val pairs = (0 until srcCnt).map { i =>
+          val t = cnt.indexWhere(_ < avg); cnt(t) += 1; (i.toLong, t.toLong)
+        }
+        (pairs.toSet, avg.toLong)
+      } else {
+        val avg = (tgtCnt + srcCnt - 1) / srcCnt
+        val cnt = Array.fill(srcCnt)(0)
+        val pairs = (0 until tgtCnt).map { j =>
+          val s = cnt.indexWhere(_ < avg); cnt(s) += 1; (s.toLong, j.toLong)
+        }
+        (pairs.toSet, avg.toLong)
+      }
+    def idxOf(name: String): Long = name.substring(name.lastIndexOf('_') + 1).toLong
+    (1 to 8).foreach { srcCnt =>
+      val src = (0L until srcCnt.toLong).toDF("src_idx")
+      val scenarios = (1 to 8).map(t => (s"t$t", t.toLong)).toDF("scenario", "target_cnt")
+      val rows = graft.cdc.Cdc.channelMappingResolve(src, scenarios).collect()
+      (1 to 8).foreach { tgtCnt =>
+        val (expPairs, expAvg) = greedy(srcCnt, tgtCnt)
+        val got = rows.filter(_.getAs[String]("scenario") == s"t$tgtCnt")
+        assert(got.forall(_.getAs[Long]("average_cnt") == expAvg),
+          s"src=$srcCnt tgt=$tgtCnt averageCnt")
+        val gotPairs = got.map(r => (idxOf(r.getAs[String]("source_channel")),
+          idxOf(r.getAs[String]("target_channel")))).toSet
+        assert(gotPairs == expPairs, s"src=$srcCnt tgt=$tgtCnt")
+      }
+    }
+  }
+
   test("position codec: columnar protobuf roundtrips on adversarial generated positions") {
     // The corpus only exercises 2024 timestamps and small event ids; pin
     // the codec on the whole valid domain — any ms epoch past 1980 (TSO
