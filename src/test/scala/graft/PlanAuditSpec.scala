@@ -196,6 +196,19 @@ class PlanAuditSpec extends SparkSpec {
     } finally graft.operators.Text.clearCaches() // a failed assert must not leak caches
   }
 
+  test("cdc_channel_mapping: pure metadata — the event stream shuffles once for the distinct, never for the grid") {
+    val plan = planOf(Cdc.channelMapping(spark, sfDir))
+    assert(plan.contains("partial_"), "channel distinct must combine map-side")
+    assert(plan.contains("Broadcast"),
+      "the channel-count frame and grid must broadcast, never shuffle the stream")
+    // The distinct subtree plans twice (count + join branches), each with
+    // its shuffle, plus the 1-row global count — but the scenario grid
+    // itself must never add a hash shuffle.
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashShuffles <= 2,
+      s"only the channel distinct may hash-shuffle:\n${plan.take(1500)}")
+  }
+
   test("cdc_seek_asof: backward as-of decomposes over (channel, bucket)") {
     val plan = planOf(Cdc.seekAsof(spark, sfDir))
     // The row-level window must be keyed by (channel, bucket) — a bare
