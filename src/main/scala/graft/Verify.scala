@@ -27,9 +27,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // Release the dedup suite's tracked caches — Verify is a long-lived
-    // session that has now run every dedup operator.
+    // Release the suite caches and drained stream sinks — Verify is a
+    // long-lived session that has now run every operator, and each result
+    // is already written out (parquet drain dirs are safe to delete).
     graft.operators.Dedup.clearCaches()
+    graft.operators.Text.clearCaches()
+    graft.streaming.CdcStream.dropSinks(spark)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
