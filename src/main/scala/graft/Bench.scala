@@ -117,7 +117,9 @@ object Bench {
     // Full copy on disk regardless of how much of stdout survives.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
     try {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out).getParent)
+      // A bare filename has a null parent — skip dir creation, still write.
+      Option(java.nio.file.Paths.get(out).getParent)
+        .foreach(p => java.nio.file.Files.createDirectories(p): Unit)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n"): Unit
     } catch { case e: Exception =>
       System.err.println(s"BENCH file write failed: ${e.getMessage}")

@@ -295,24 +295,43 @@ object Cdc {
     * event ≤ the probe's ts is either in its bucket or an earlier one.
     * Ties: events sort before probes at equal ts, so "at-or-before"
     * includes a message exactly at the probe ts.
+    *
+    * The (ts, event_id) position is carried as ONE `DECIMAL(38,0)`
+    * `ts_raw * 10^18 + event_id` rather than a struct: lexicographic order
+    * is preserved (event_id is a non-negative id < 10^18, the same
+    * position-ordering the reference's MQ message ids guarantee), and a
+    * 16-byte decimal is an UnsafeRow-mutable aggregation buffer, so the
+    * bucket-grid max HASH-aggregates — a struct-valued max buffer would
+    * force SortAggregate over the full stream (sorting every partition
+    * just to fold a tiny grid).
     */
   private[graft] def seekAsofFrom(stream: DataFrame, probes: DataFrame,
       bucketWidth: Long = 86400L): DataFrame = {
     val evIdType = stream.schema("event_id").dataType
+    val tsType = stream.schema("ts").dataType
     val ddlIdType = probes.schema("ddl_id").dataType
     val evU = stream.select(col("channel"), col("ts"), col("event_id"),
       lit(0).as("is_probe"), lit(null).cast(ddlIdType).as("ddl_id"))
     val prU = probes.select(col("channel"), col("ts"),
       lit(null).cast(evIdType).as("event_id"), lit(1).as("is_probe"), col("ddl_id"))
+    // Monotone integral image of ts: micros for timestamps (lossless — the
+    // parquet source is micros), the raw value for integral ts.
+    val tsRaw: Column = tsType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col("ts"))
+      case _ => col("ts").cast("long")
+    }
+    val packShift = "1000000000000000000" // 10^18
     val all = evU.unionAll(prU)
       .withColumn("bucket", expr(s"CAST(ts AS LONG) DIV $bucketWidth"))
-    // Per-(channel, bucket) event struct-maxima INCLUDING probe-only
+      .withColumn("pk", when(col("is_probe") === 0,
+        tsRaw.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * expr(packShift)
+          + col("event_id")))
+    // Per-(channel, bucket) event position maxima INCLUDING probe-only
     // buckets (bmax null there), so every probe row finds its grid row.
     val wEarlier = Window.partitionBy(col("channel")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bucketGrid = all.groupBy(col("channel"), col("bucket"))
-      .agg(max(when(col("is_probe") === 0, struct(col("ts"), col("event_id"))))
-        .as("bmax"))
+      .agg(max(col("pk")).as("bmax"))
       .withColumn("earlier_max", max(col("bmax")).over(wEarlier))
       .drop("bmax")
     val wIn = Window.partitionBy(col("channel"), col("bucket"))
@@ -321,15 +340,20 @@ object Cdc {
     // Shuffle join on (channel, bucket) — AQE broadcasts the tiny grid;
     // at extreme bucket counts it stays a hash join co-partitioned with
     // the per-row window's shuffle (same shape as [[orderingAudit]]).
+    val posTs: Column = tsType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        timestamp_micros(expr(s"pos DIV $packShift"))
+      case t => expr(s"pos DIV $packShift").cast(t)
+    }
     all
-      .withColumn("in_bucket_max",
-        max(when(col("is_probe") === 0, struct(col("ts"), col("event_id")))).over(wIn))
+      .withColumn("in_bucket_max", max(col("pk")).over(wIn))
       .filter(col("is_probe") === 1)
       .join(bucketGrid, Seq("channel", "bucket"))
       .withColumn("pos", greatest(col("in_bucket_max"), col("earlier_max")))
       .filter(col("pos").isNotNull)
       .select(col("ddl_id"), col("channel"),
-        col("pos.ts").as("pos_ts"), col("pos.event_id").as("pos_event_id"))
+        posTs.as("pos_ts"),
+        (col("pos") % expr(packShift)).cast(evIdType).as("pos_event_id"))
   }
 
   /** Milvus TSO (hybrid logical clock) compose/parse as columnar bit ops:

@@ -55,8 +55,14 @@ object CdcStream {
   private val liveSinks =
     scala.collection.mutable.ArrayBuffer.empty[(SparkSession, String)]
 
-  /** Parquet-sink drain dirs not yet cleaned ([[drainParquet]]). */
-  private val liveDirs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+  /** (owning session, dir) of parquet-sink drain dirs not yet cleaned
+    * ([[drainParquet]]). Pairs for the same reason as [[liveSinks]]: a
+    * dropSinks from one session must not delete dirs whose frames another
+    * session has not yet consumed. Dirs are also deleteOnExit-registered at
+    * creation as a backstop for callers that never call dropSinks.
+    */
+  private val liveDirs =
+    scala.collection.mutable.ArrayBuffer.empty[(SparkSession, java.io.File)]
 
   /** Drop every drained memory-sink temp view registered so far (each via
     * its owning session; the passed session is only the caller's default)
@@ -71,7 +77,8 @@ object CdcStream {
       liveSinks.clear()
     }
     liveDirs.synchronized {
-      liveDirs.foreach { d =>
+      val (mine, others) = liveDirs.partition(_._1 eq spark)
+      mine.foreach { case (_, d) =>
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete(): Unit
@@ -79,6 +86,7 @@ object CdcStream {
         rm(d)
       }
       liveDirs.clear()
+      liveDirs ++= others: Unit
     }
   }
 
@@ -167,7 +175,8 @@ object CdcStream {
   private def drainParquet(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val dir = java.nio.file.Files.createTempDirectory("graft-drain-").toFile
-    liveDirs.synchronized { liveDirs += dir }
+    dir.deleteOnExit()
+    liveDirs.synchronized { liveDirs += ((spark, dir)) }
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf
       .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
@@ -185,7 +194,10 @@ object CdcStream {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }
-    spark.read.parquet(dir.getPath)
+    // Explicit schema: a zero-row emission leaves the dir with no parquet
+    // files, where schema inference throws — the empty-frame answer the
+    // memory-sink drain would have returned is the correct one.
+    spark.read.schema(df.schema).parquet(dir.getPath)
   }
 
   private[graft] def foldPk(userId: Long, evs: Iterator[Ev],
