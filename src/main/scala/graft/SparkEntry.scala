@@ -41,6 +41,7 @@ object SparkEntry {
     "vec_knn_join" -> ((s, d) => Similarity.knnJoin(s, d)),
     "vec_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "vec_ivf_search" -> ((s, d) => Similarity.ivfSearch(s, d)),
+    "vec_ivf_join" -> ((s, d) => Similarity.ivfJoin(s, d)),
     "vec_normalize" -> (Similarity.normalize _),
     "vec_pairwise_dups" -> ((s, d) => Similarity.pairwiseDups(s, d)),
     "stream_cdc_state" -> (graft.streaming.CdcStream.cdcState _),
@@ -748,6 +749,41 @@ object SparkEntry {
         |JOIN probed p ON a.cluster = p.cluster, q
         |WHERE n.vec_id <> 0
         |ORDER BY cos DESC, n.vec_id ASC LIMIT 10""".stripMargin,
+    // Multi-query IVF: same deterministic index; per-query probe sets
+    // (top-nprobe centroids), per-query top-k over probed clusters only.
+    // n is referenced 4x — MATERIALIZED keeps DuckDB from re-inlining the
+    // norm computation per reference (the round-7 oracle-cost lesson).
+    "vec_ivf_join" ->
+      """WITH n AS MATERIALIZED (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT n.vec_id, cid AS cluster,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(n.embedding, ce),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * cn) DESC,
+        |        cid ASC) AS rn
+        |    FROM n, cents WHERE n.vec_id >= 8) t WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM n WHERE vec_id < 8),
+        |probes AS (
+        |  SELECT q_id, cluster FROM (
+        |    SELECT q.q_id, cid AS cluster,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        list_sum(list_transform(list_zip(ce, qe),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (cn * qn) DESC,
+        |        cid ASC) AS pr
+        |    FROM cents, q) t WHERE pr <= 4),
+        |s AS (
+        |  SELECT q.q_id, n.vec_id, a.cluster,
+        |    round(list_sum(list_transform(list_zip(n.embedding, qe),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * qn), 4) AS cos
+        |  FROM n JOIN assign a ON n.vec_id = a.vec_id
+        |  JOIN probes p ON a.cluster = p.cluster
+        |  JOIN q ON q.q_id = p.q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM s)
+        |SELECT q_id, vec_id, cluster, cos, rk FROM r WHERE rk <= 3""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id

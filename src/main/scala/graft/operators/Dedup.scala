@@ -65,33 +65,111 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
 
-  /** Exact token-3-gram Jaccard ≥ τ pairs via (hashed-)gram self-join.
-    * This is the ORACLE for near-dup detection: quadratic in docs sharing a
-    * gram, so it's the small-SF ground truth — [[minhashLsh]] is the scale
-    * path with the same verify step.
+  /** Minimum τ the exact pair path supports. The shared pair cache is
+    * prefix-filtered at THIS threshold, so every consumer filtering at
+    * τ ≥ MinTau reads an exact answer from one materialized frame —
+    * the same one-build/many-probes contract the cache always had.
     */
-  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = 0.1): DataFrame =
-    pairJaccard(spark, dir).filter(col("jaccard") >= tau)
+  private[graft] val MinTau = 0.1
 
-  /** Unthresholded pair Jaccard over all gram-sharing doc pairs, cached:
-    * every consumer (the τ=0.1 oracle query, the τ=0.5 cluster edges, any
-    * threshold sweep) filters the SAME materialized pair stats instead of
-    * re-running the self-join — at scale, pair stats are computed once and
-    * probed many times.
+  /** Exact token-3-gram Jaccard ≥ τ pairs (τ ≥ [[MinTau]]) via
+    * prefix-filtered gram self-join + exact verification. Exact semantics
+    * (the DuckDB oracle is the naive full self-join), but the candidate
+    * join only touches each doc's rarest-gram prefix — the frequent grams
+    * that make the naive join quadratic never enter it. [[minhashLsh]]
+    * remains the probabilistic-candidate scale path with the same verify.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = MinTau): DataFrame = {
+    require(tau >= MinTau,
+      s"exact pair cache is prefix-filtered at $MinTau; tau=$tau would lose pairs")
+    pairJaccard(spark, dir).filter(col("jaccard") >= tau)
+  }
+
+  /** Verified pair Jaccard over all [[MinTau]]-prefix candidate pairs,
+    * cached: every consumer (the τ=0.1 oracle query, sub-knee cluster
+    * edges, any threshold sweep at τ ≥ MinTau) filters the SAME
+    * materialized pair stats instead of re-running the join.
     */
   private def pairJaccard(spark: SparkSession, dir: String): DataFrame = {
     val g = shingles(documents(spark, dir))
-    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = g.as("a").join(g.as("b"),
-        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+    tracked(verifiedJaccard(g, prefixCandidates(g, MinTau)))
+  }
+
+  /** PPJoin-style prefix filter (Chaudhuri et al., "A Primitive Operator
+    * for Similarity Joins in Data Cleaning", ICDE 2006; Xiao et al.,
+    * "Efficient Similarity Joins for Near Duplicate Detection", WWW 2008):
+    * order each doc's grams rarest-first by global document frequency; a
+    * pair with J ≥ τ has overlap s ≥ ⌈τ·max(n_a, n_b)⌉, so its
+    * order-minimal shared gram must sit inside BOTH docs' first
+    * n − ⌈τ·n⌉ + 1 grams — joining only those prefixes finds every true
+    * pair. Plus the length filter min(n_a,n_b) ≥ τ·max(n_a,n_b).
+    *
+    * Why this kills the quadratic: bucket blowup in the naive join comes
+    * from globally-frequent grams (df² pairs each); rarest-first ordering
+    * pushes exactly those to the suffix. The prefix bound prunes them from
+    * the join, and the POSITION filter prunes the candidates they still
+    * produce: the first matched gram is provably the pair's order-minimal
+    * shared gram (an earlier shared gram would rank earlier on both sides,
+    * hence inside both prefixes, hence match first), so every shared gram
+    * sits at rank ≥ i in a and ≥ j in b, bounding the overlap at
+    * s ≤ min(n_a−i, n_b−j)+1 — a pair whose only shared grams are
+    * frequent matches late and cannot reach the required
+    * α = ⌈τ/(1+τ)·(n_a+n_b)⌉, which is exactly the quadratic bulk.
+    *
+    * Thresholds are compared in exact integer math with τ rounded DOWN at
+    * 10⁻⁶ granularity — float rounding may only enlarge a prefix or relax
+    * a bound, never prune a true pair.
+    *
+    * Scale: df counting, the doc-frequency rank, and the prefix join are
+    * all single hash shuffles on gh or doc_id — linear in gram instances;
+    * candidates (not the corpus) pay the verify join.
+    */
+  private[graft] def prefixCandidates(g: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tauScaled = math.floor(tau * 1e6).toLong // ≤ τ: under-estimate = safe
+    val dfreq = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = g.join(dfreq, "gh")
+      .select(col("doc_id"), col("gh"), col("df"))
+      .withColumn("r", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wDoc))
+    // prefix length = n − s_min + 1, s_min = ⌈τ'·n⌉ in integer math.
+    val prefix = ranked
+      .filter(col("r") <= col("n") - expr(s"($tauScaled * n + 999999) DIV 1000000") + 1)
+      .select(col("doc_id"), col("gh"), col("r"), col("n"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * lit(1000000L) >= lit(tauScaled) * col("b.n") &&
+          col("b.n") * lit(1000000L) >= lit(tauScaled) * col("a.n"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // min(a.r) and min(b.r) both come from the order-minimal shared
+      // gram (rank order is the one global order on both sides).
+      .agg(min(col("a.r")).as("i"), min(col("b.r")).as("j"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      // Position filter: s ≤ min(na−i, nb−j)+1 must reach
+      // α' = ⌈τ'·(na+nb)/(1+τ')⌉ ≤ α; keep iff ub·(1+τ') ≥ τ'·(na+nb).
+      .filter(least(col("na") - col("i"), col("nb") - col("j")) + 1 >=
+        expr(s"($tauScaled * (na + nb) + ${1000000L + tauScaled} - 1) DIV ${1000000L + tauScaled}"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact Jaccard for a candidate pair set over its (cached) shingle
+    * frame — the shared verify stage of both the prefix-filtered exact
+    * path and the banded-LSH path.
+    */
+  private def verifiedJaccard(g: DataFrame, cand: DataFrame): DataFrame = {
+    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(g.as("gb"), col("doc_b") === col("gb.doc_id") && col("ga.gh") === col("gb.gh"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("s"))
-    tracked(shared
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         round(col("s").cast("double") /
-          (col("ca.n") + col("cb.n") - col("s")).cast("double"), 4).as("jaccard")))
+          (col("ca.n") + col("cb.n") - col("s")).cast("double"), 4).as("jaccard"))
   }
 
   /** MinHash signature length / LSH banding: K = B*R. R=2 sets the
@@ -179,19 +257,7 @@ object Dedup {
     // Shingles feed both the signatures and the verification join — one
     // cached copy (see shingles()) serves both.
     val g = shingles(docs)
-    val cand = bandedCandidates(g)
-    // Verify candidates with exact Jaccard over their (cached) shingle sets.
-    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    cand
-      .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(g.as("gb"), col("doc_b") === col("gb.doc_id") && col("ga.gh") === col("gb.gh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("s"))
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("s").cast("double") /
-          (col("ca.n") + col("cb.n") - col("s")).cast("double"), 4).as("jaccard"))
+    verifiedJaccard(g, bandedCandidates(g))
   }
 
   /** Near-dup CLUSTERS: connected components over the verified ≥ τ pair

@@ -385,11 +385,6 @@ object Similarity {
     val (qe, qn) = cents.find(_._1 == 0L)
       .map(c => (c._2, c._3))
       .getOrElse(throw new IllegalStateException("query vector must exist"))
-    def ddot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
     val probed: Seq[Long] = cents
       .map { case (cid, ce, cn) => (cid, ddot(ce, qe) / (cn * qn)) }
       .sortBy { case (cid, c) => (-c, cid) }
@@ -402,5 +397,71 @@ object Similarity {
         round(Vec.cosinePrenorm(col("embedding"), typedlit(qe), col("nrm"), lit(qn)), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Sequential left-to-right double dot — the SAME fold order as the
+    * columnar scoring expression and the oracle's list_sum, so driver-side
+    * probe selection is bit-identical to both.
+    */
+  private def ddot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** IVF-accelerated multi-query top-k — Milvus batched `search` (nq > 1)
+    * on an IVF index, the scale path [[knnJoin]] lacks: the same
+    * deterministic index as [[ivfSearch]] (centroids = the vec_id < nlist
+    * seed rows; each corpus vector assigned once by centroid argmax), and
+    * each of the nq queries probes only its own nprobe nearest clusters.
+    *
+    * Scale: the corpus-side work is ONE narrow assignment map plus one
+    * BROADCAST join against the (q_id, cluster, qe, qn) probe table
+    * (nq·nprobe rows) — each corpus row is scored only by the queries
+    * probing its cluster, ~nq·nprobe/nlist× the corpus instead of
+    * [[knnJoin]]'s nq× full scoring; the per-query top-k is a window
+    * keyed on q_id over candidates only. At 10⁹ vectors × thousands of
+    * queries this is the difference between a full-corpus re-scan per
+    * query batch and a cluster-pruned probe.
+    *
+    * Probe sets are driver-side math over the collected index metadata
+    * (nlist centroids × nq query rows), with [[ddot]] keeping the fold
+    * order bit-identical to the oracle's list_sum — which is what makes
+    * this SQL-restatable and therefore oracle-gated like every other op.
+    */
+  def ivfJoin(spark: SparkSession, dir: String, k: Int = 3,
+      nlist: Int = 16, nprobe: Int = 4, nq: Int = 8): DataFrame = {
+    require(nlist >= 2 && nprobe >= 1 && nq >= 1)
+    val n = normed(spark, dir)
+    val cents: Array[(Long, Array[Float], Double)] = n.filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val scored = cents.map { case (cid, ce, cn) =>
+      struct(
+        (Vec.dot(col("embedding"), typedlit(ce)) / (col("nrm") * lit(cn))).as("s"),
+        lit(-cid).as("negid"))
+    }
+    val assigned = n.filter(col("vec_id") >= nq)
+      .withColumn("cluster", -greatest(scored.toSeq: _*).getField("negid"))
+    // Query rows are index-metadata-sized (nq rows), collected like the
+    // centroids; per-query probe sets = top-nprobe centroids by cosine.
+    val queries: Array[(Long, Array[Float], Double)] = n.filter(col("vec_id") < nq)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val probeRows = queries.toSeq.flatMap { case (qid, qe, qn) =>
+      cents.map { case (cid, ce, cn) => (cid, ddot(ce, qe) / (cn * qn)) }
+        .sortBy { case (cid, c) => (-c, cid) }
+        .take(nprobe)
+        .map { case (cid, _) => (qid, cid, qe, qn) }
+    }
+    import spark.implicits._
+    val probes = probeRows.toDF("q_id", "cluster", "qe", "qn")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    assigned
+      .join(broadcast(probes), "cluster")
+      .select(col("q_id"), col("vec_id"), col("cluster"),
+        cosTo(col("qe"), col("qn")).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
   }
 }

@@ -23,9 +23,14 @@ object ScalingReport {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     println(f"${"sf"}%-8s ${"docs"}%8s ${"grams"}%10s ${"lsh_cand"}%9s " +
-      f"${"gram_pairs"}%10s ${"lsh_s"}%7s ${"gram_s"}%7s")
-    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
-      val dir = s"/root/testdata/$sf"
+      f"${"pp01"}%9s ${"pp05"}%7s ${"gram_pairs"}%10s ${"lsh_s"}%7s ${"gram_s"}%7s")
+    val dirs = Seq(
+      "sf0.001" -> "/root/testdata/sf0.001",
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1") ++
+      (if (new java.io.File("/root/repo/testdata-sf1/documents.parquet").exists())
+        Seq("10x" -> "/root/repo/testdata-sf1") else Nil)
+    dirs.foreach { case (sf, dir) =>
       val docs = graft.Tables.documents(spark, dir)
       val nDocs = docs.count()
       val g = Dedup.testShingles(docs)
@@ -34,7 +39,12 @@ object ScalingReport {
       // Dedup.bandedCandidates, so this report can't drift from the
       // operator it measures.
       val (lshCand, _) = time(Dedup.bandedCandidates(g).count())
-      // Gram self-join pair volume (what the old cluster edges paid).
+      // PPJoin prefix+position candidates at MinTau (what the exact pair
+      // path verifies now) and at the 0.5 knee — pruning grows with τ:
+      // at 0.1 the candidate floor is the bound s ≤ c + suffix allowance
+      // (see prefixCandidates scaladoc), at 0.5 it approaches the output.
+      val (ppCand, _) = time(Dedup.prefixCandidates(g, Dedup.MinTau).count())
+      val (ppCand05, _) = time(Dedup.prefixCandidates(g, 0.5).count())
       val (gramPairs, _) = time(g.as("a").join(g.as("b"),
           col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id"), col("b.doc_id")).distinct().count())
@@ -43,8 +53,8 @@ object ScalingReport {
       val (_, lshS) = time(Dedup.minhashLsh(spark, dir).count())
       Seq(1, 2).foreach(_ => Dedup.ngramJaccard(spark, dir).count())
       val (_, gramS) = time(Dedup.ngramJaccard(spark, dir).count())
-      println(f"$sf%-8s $nDocs%8d $nGrams%10d $lshCand%9d $gramPairs%10d " +
-        f"$lshS%7.2f $gramS%7.2f")
+      println(f"$sf%-8s $nDocs%8d $nGrams%10d $lshCand%9d $ppCand%9d " +
+        f"$ppCand05%7d $gramPairs%10d $lshS%7.2f $gramS%7.2f")
       Dedup.clearCaches()
     }
     spark.stop()

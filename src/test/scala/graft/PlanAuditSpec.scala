@@ -82,6 +82,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("vec_ivf_join: probe table broadcast; corpus never cartesian'd or re-scanned per query") {
+    val plan = planOf(Similarity.ivfJoin(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the (q_id, cluster, qe, qn) probe table must broadcast-join the assigned corpus")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "no unkeyed join may touch the corpus")
+    // The per-query ranking may shuffle candidates on q_id; the corpus-side
+    // assignment itself must stay a narrow map (single scan of embeddings).
+    assert("FileScan parquet".r.findAllIn(plan).length <= 1,
+      s"corpus must be scanned once:\n${plan.take(1500)}")
+  }
+
+  test("dedup_ngram_jaccard: prefix-filtered candidates, never a full gram self-join") {
+    val plan = planOf(graft.operators.Dedup.ngramJaccard(spark, sfDir))
+    // The candidate join's inputs are rank-filtered prefixes: the prefix
+    // bound (r <= n - ceil(tau*n) + 1) must appear as a Filter above the
+    // rank window before any self-join.
+    assert(plan.contains("row_number"),
+      "global-order ranks must be computed for the prefix bound")
+    assert("(?is)999999.*div 1000000".r.findFirstIn(plan).isDefined,
+      s"integer-math prefix bound missing from the plan:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("cdc_apply_changes: merge join reuses the folds' PK partitioning") {
     val plan = planOf(Cdc.applyChanges(spark, sfDir))
     assert(exchanges(plan) <= 3,

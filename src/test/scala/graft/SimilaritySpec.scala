@@ -65,6 +65,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall below floor")
   }
 
+  test("vec_ivf_join: per-query top-k, exact scores, recall vs knn_join") {
+    val ivf = Similarity.ivfJoin(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    // Per-query shape: <= k rows per q_id, ranks 1..k, ids from the corpus.
+    ivf.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getAs[Long]("rk")).sorted.sameElements(1L to rows.length))
+    }
+    ivf.foreach(r => assert(r.getAs[Long]("vec_id") >= 8))
+    // Exact scoring: each hit carries the same rounded cosine knn_join
+    // (full scoring) computes for that (q_id, vec_id).
+    val exact = Similarity.knnJoin(spark, sfDir, k = Int.MaxValue).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos"))
+      .toMap
+    ivf.foreach { r =>
+      assert(exact((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))) ==
+        r.getAs[Double]("cos"))
+    }
+    // Recall vs the exact per-query top-3 across all queries.
+    val exactTop = Similarity.knnJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val hits = ivf.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exactTop & hits).size.toDouble / exactTop.size
+    info(s"ivf_join recall@3 = $recall (nprobe=4/nlist=16, 8 queries)")
+    assert(recall >= 0.3, s"recall $recall below floor")
+  }
+
   test("vec_lsh_search: exact scores, candidates only from probed buckets") {
     val rows = Similarity.lshSearch(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 10)

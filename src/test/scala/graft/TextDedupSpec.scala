@@ -124,6 +124,40 @@ class TextDedupSpec extends SparkSpec {
     assert(groups.map(_.getAs[Long]("dup_count")).sum == docs)
   }
 
+  test("ppjoin prefix filter: exact pair set equals the naive gram self-join, and prunes") {
+    import org.apache.spark.sql.functions._
+    // Ground truth recomputed here as the naive full self-join (the shape
+    // the DuckDB oracle uses), independently of the operator under test.
+    val g = Dedup.testShingles(graft.Tables.documents(spark, sfDir))
+    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val naive = g.as("a").join(g.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("s"))
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("s").cast("double") /
+          (col("ca.n") + col("cb.n") - col("s")).cast("double"), 4).as("jaccard"))
+    def pairs(df: org.apache.spark.sql.DataFrame, tau: Double) =
+      df.filter(col("jaccard") >= tau).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(0.1, 0.3, 0.5).foreach { tau =>
+      val exact = pairs(naive, tau)
+      val pp = Dedup.ngramJaccard(spark, sfDir, tau)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(tau > 0.1 || exact.nonEmpty, "corpus must have tau=0.1 pairs to bite")
+      assert((exact -- pp).isEmpty, s"tau=$tau prefix filter MISSED: ${exact -- pp}")
+      assert((pp -- exact).isEmpty, s"tau=$tau EXTRA pairs: ${pp -- exact}")
+    }
+    // The candidate cut — the reason the prefix join replaces the naive
+    // one: candidates must be a strict subset of the gram-sharing pairs.
+    val allSharing = naive.count()
+    val cand = Dedup.prefixCandidates(g, Dedup.MinTau).count()
+    assert(cand < allSharing,
+      s"prefix filter must prune candidates: cand=$cand sharing=$allSharing")
+  }
+
   test("minhash-lsh recovers exactly the >=tau exact-Jaccard pairs") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
