@@ -90,6 +90,29 @@ object CdcStream {
     }
   }
 
+  /** Scratch root for drain checkpoints and parquet-drain dirs: tmpfs
+    * (/dev/shm) when available, else java.io.tmpdir; override with
+    * SPARK_GRAFT_STREAM_TMP. A bounded drain's offset WAL and state-store
+    * snapshots are pure scratch — deleted right after the drain — but each
+    * microbatch fsyncs them, so putting them on a disk-backed /tmp charges
+    * every drain a fixed I/O cost that RAM does not. On a real cluster the
+    * checkpoint for a LIVE query belongs on durable shared storage
+    * ([[replicate]] takes it as a parameter); this root is only for the
+    * run-to-completion drains where durability buys nothing.
+    */
+  private def scratchRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    sys.env.get("SPARK_GRAFT_STREAM_TMP").map(java.nio.file.Paths.get(_))
+      .getOrElse(
+        if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+  }
+
+  private def deleteRecursive(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursive))
+    f.delete(): Unit
+  }
+
   /** The events parquet as an unbounded stream (file source; ts arrives as
     * raw nanos because parquet TIMESTAMP(NANOS) isn't a Spark type).
     */
@@ -126,7 +149,7 @@ object CdcStream {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf
       .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
     spark.conf.set("spark.sql.shuffle.partitions", streamParts)
     // A bounded drain needs the post-data no-data microbatch ONLY when the
     // sink's emission is watermark-driven (append-mode windowed aggs); for
@@ -134,8 +157,10 @@ object CdcStream {
     // pure extra batch round (plan + state commit) per drain — skip it.
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       awaitNoDataBatch.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory(scratchRoot, "graft-ckpt-")
     try {
-      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt.toString).start()
       // Register for cleanup as soon as the sink exists — a drain that
       // fails later must still leave its view droppable.
       liveSinks.synchronized { liveSinks += ((spark, name)) }
@@ -157,6 +182,7 @@ object CdcStream {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      deleteRecursive(ckpt.toFile) // drained = done; the WAL is scratch
     }
     df.sparkSession.table(name)
   }
@@ -172,19 +198,22 @@ object CdcStream {
     * read). The returned frame reads the drain dir, so consume it before
     * [[dropSinks]] cleans the dir.
     */
-  private def drainParquet(df: DataFrame): DataFrame = {
+  private def drainParquet(df: DataFrame, mode: String = "append"): DataFrame = {
     val spark = df.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft-drain-").toFile
+    val dir = java.nio.file.Files.createTempDirectory(scratchRoot, "graft-drain-").toFile
     dir.deleteOnExit()
     liveDirs.synchronized { liveDirs += ((spark, dir)) }
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf
       .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
     spark.conf.set("spark.sql.shuffle.partitions", streamParts)
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val ckpt = java.nio.file.Files.createTempDirectory(scratchRoot, "graft-ckpt-")
     try {
       val q = df.writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(dir.getPath)
         }
@@ -193,6 +222,7 @@ object CdcStream {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      deleteRecursive(ckpt.toFile)
     }
     // Explicit schema: a zero-row emission leaves the dir with no parquet
     // files, where schema inference throws — the empty-frame answer the
@@ -236,7 +266,11 @@ object CdcStream {
         (col("last_delete_ts").isNull || col("last_upsert_ts") >= col("last_delete_ts")))
 
   /** Live per-PK alive-state via mapGroupsWithState; answer ≡ the batch
-    * snapshot, so it shares that oracle.
+    * snapshot, so it shares that oracle. Drained to parquet, not a memory
+    * sink: the emission is one row per touched PK — corpus-scale, the
+    * same executors-write/executors-read posture as the kafka-format and
+    * replay-dedup drains ([[pkRowsToSnapshot]] then folds the drained
+    * rows without the driver ever materializing them).
     */
   def cdcState(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -245,7 +279,7 @@ object CdcStream {
       .as[Ev]
     val folded = evs.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(foldPk)
-    pkRowsToSnapshot(drain(folded.toDF(), "update"))
+    pkRowsToSnapshot(drainParquet(folded.toDF(), mode = "update"))
   }
 
   /** End-to-end replication: the live fold streamed into a parquet
