@@ -22,7 +22,17 @@ Scaling strategy:
   embeddings) are copied as-is: replicated embeddings would create exact
   duplicate vectors and degenerate the vector suites' top-k structure.
 
-Usage: python3 scripts/make_sf1.py [src_dir] [dst_dir] [factor]
+Extra modes (4th arg):
+- `events`: write ONLY a factor-x events table (streamed one replica at a
+  time, so factor=100 never concatenates in RAM) — the CDC/stream-suite
+  scale point; documents/embeddings stay at whatever the 10x dir holds.
+- `skew`: write ONLY a zipf-hot events table the same size as src —
+  SKEW_PCT% of all events collapse onto one hot PK per channel
+  (deterministic by event_id), the hot-PK change-stream shape a uniform
+  synthetic corpus never exercises. Channel hash (%4) is preserved, so
+  per-channel ops see one ~SKEW_PCT/4 hot key each.
+
+Usage: python3 scripts/make_sf1.py [src_dir] [dst_dir] [factor] [mode]
 """
 import shutil
 import sys
@@ -35,6 +45,7 @@ import pyarrow.parquet as pq
 SRC = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
 DST = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata-sf1")
 FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+MODE = sys.argv[4] if len(sys.argv) > 4 else "full"
 
 COPY = ["customer", "supplier", "part", "nation", "region", "embeddings"]
 
@@ -92,8 +103,70 @@ def mutated_documents(docs):
     return pa.concat_tables(parts)
 
 
+def events_offsets(ev):
+    """Per-replica offsets preserving every marker/hash surrogate (see
+    module docstring): event_id multiple of lcm(500,300,100)*137,
+    user_id multiple of 12."""
+    e_off = round_up(pc.max(ev.column("event_id")).as_py() + 1, 205500)
+    u_off = round_up(pc.max(ev.column("user_id")).as_py() + 1, 12)
+    return e_off, u_off
+
+
+def write_events_only(ev):
+    """factor-x events via a streaming writer: one replica in RAM at a
+    time, so factor=100 costs the same peak memory as factor=2."""
+    e_off, u_off = events_offsets(ev)
+    with pq.ParquetWriter(DST / "events.parquet", ev.schema) as w:
+        w.write_table(ev)
+        for i in range(1, FACTOR):
+            cols = []
+            for name in ev.column_names:
+                col = ev.column(name)
+                if name == "event_id":
+                    col = pc.add(col, pa.scalar(e_off * i, type=col.type))
+                elif name == "user_id":
+                    col = pc.add(col, pa.scalar(u_off * i, type=col.type))
+                cols.append(col)
+            w.write_table(pa.table(cols, names=ev.column_names))
+    print(f"wrote {DST}/events.parquet x{FACTOR} (e_off={e_off}, u_off={u_off})")
+
+
+SKEW_PCT = 20  # % of ALL events remapped onto 4 hot PKs (one per channel)
+
+
+def write_events_skew(ev):
+    """Same row count as src, but SKEW_PCT% of events land on one hot PK
+    per channel: event e is remapped iff hash(event_id) % 100 < SKEW_PCT,
+    to hot PK (u_max_rounded + original channel) — channel membership is
+    preserved (offset multiple of 4), so each channel's fold sees one key
+    holding ~SKEW_PCT% of its stream while every other key keeps ~uniform
+    density. Deterministic, restatable in oracle SQL."""
+    import numpy as np
+    u_hot = round_up(pc.max(ev.column("user_id")).as_py() + 1, 12)
+    eid = ev.column("event_id").to_numpy()
+    uid = ev.column("user_id").to_numpy()
+    # Multiplicative hash on event_id — deterministic, SQL-restatable, and
+    # overflow-free (max event_id * 2654435761 << 2^63).
+    hot = (eid * 2654435761) % 100 < SKEW_PCT
+    new_uid = pa.array(np.where(hot, u_hot + uid % 4, uid), type=pa.int64())
+    cols = [new_uid if name == "user_id" else ev.column(name)
+            for name in ev.column_names]
+    pq.write_table(pa.table(cols, names=ev.column_names), DST / "events.parquet")
+    print(f"wrote {DST}/events.parquet skewed ({SKEW_PCT}% of events on 4 hot "
+          f"PKs {u_hot}..{u_hot + 3})")
+
+
 def main():
     DST.mkdir(parents=True, exist_ok=True)
+    if MODE == "events":
+        write_events_only(pq.read_table(SRC / "events.parquet"))
+        # stream_vec_search scores the event stream against embeddings —
+        # the one non-events table the CDC/stream suites touch.
+        shutil.copyfile(SRC / "embeddings.parquet", DST / "embeddings.parquet")
+        return
+    if MODE == "skew":
+        write_events_skew(pq.read_table(SRC / "events.parquet"))
+        return
     for t in COPY:
         shutil.copyfile(SRC / f"{t}.parquet", DST / f"{t}.parquet")
 

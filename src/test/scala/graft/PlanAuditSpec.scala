@@ -273,6 +273,72 @@ class PlanAuditSpec extends SparkSpec {
     assert(top.length == 5)
   }
 
+  test("hot-PK change stream: CDC folds absorb zipf skew map-side (state/diff/apply)") {
+    // A real change stream has hot PKs; the uniform synthetic corpus never
+    // exercises them. Same remap as scripts/make_sf1.py `skew` mode: 20%
+    // of ALL events collapse onto one hot PK per channel (deterministic by
+    // event_id, channel-preserving). The scale claim under audit: every
+    // CDC fold partial-aggregates map-side, so a hot PK's rows combine to
+    // one buffer per map task BEFORE the shuffle — the reduce side sees
+    // #tasks rows, not the key's row count — and the diff/apply joins run
+    // on FOLDED frames (<= 1 row per key per side), so PK skew can never
+    // reach a join input. Correctness asserted against independently
+    // computed hot-key truth.
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val uHot = 1500L // >= max(user_id)+1 rounded to 12 at every SF here
+    val skewed = raw.withColumn("user_id",
+      when(pmod(col("event_id") * lit(2654435761L), lit(100)) < 20,
+        lit(uHot) + pmod(col("user_id"), lit(4))).otherwise(col("user_id")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skew-").toFile
+    try {
+      skewed.write.parquet(s"${tmp.getPath}/events.parquet")
+      val dir = tmp.getPath
+      val hotTruth = skewed.filter(col("user_id") >= uHot)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          max(when(col("event_type") =!= "error", col("ts"))).as("u"),
+          max(when(col("event_type") === "error", col("ts"))).as("d"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1),
+            if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
+            if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))
+        .toMap
+      assert(hotTruth.nonEmpty && hotTruth.values.map(_._1).sum >=
+        raw.count() / 10, "the remap must actually concentrate ~20% of events")
+      // state fold: each alive hot PK folds to ONE row carrying its full
+      // event count; the plan partial-aggregates map-side.
+      val snap = Cdc.stateSnapshot(spark, dir)
+      assert(planOf(snap).contains("partial_"),
+        "PK fold must map-side combine — that is what absorbs hot keys")
+      val hotRows = snap.filter(col("user_id") >= uHot).collect()
+      hotRows.foreach { r =>
+        val (n, u, d) = hotTruth(r.getAs[Long]("user_id"))
+        assert(r.getAs[Long]("upserts") + r.getAs[Long]("deletes") == n)
+        assert(u >= d, "returned hot PKs must be alive")
+      }
+      assert(hotRows.length == hotTruth.count { case (_, (_, u, d)) => u >= d })
+      // diff + apply: joins run on folded (per-key) frames — hot PKs meet
+      // the join as single rows; results stay exact.
+      val diff = Cdc.replicaDiff(spark, dir)
+      assert(planOf(diff).contains("partial_"))
+      assert(diff.groupBy(col("user_id")).count().filter(col("count") > 1).isEmpty,
+        "diff emits at most one row per PK, hot or not")
+      val applied = Cdc.applyChanges(spark, dir).filter(col("user_id") >= uHot).collect()
+      applied.foreach { r =>
+        val (n, _, _) = hotTruth(r.getAs[Long]("user_id"))
+        assert(r.getAs[Long]("upserts") + r.getAs[Long]("deletes") == n,
+          "snapshot+delta merge must recover the hot PK's full fold")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
+
   test("skewed PK fold + join survive with AQE skew handling enabled") {
     // A hot key 1000x the median is the shape that OOMs a fixed-partition
     // shuffle at 100 TB. With AQE (+skew-join, +coalescing) the fold and
