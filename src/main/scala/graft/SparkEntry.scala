@@ -819,11 +819,11 @@ object SparkEntry {
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
         |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT doc_a, doc_b
         |  FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |  WHERE round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) >= 0.5),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT doc_a AS a, doc_b AS b FROM pairs
         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
         |reach(a, b) AS (
@@ -1171,11 +1171,11 @@ object SparkEntry {
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS s
         |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT doc_a, doc_b
         |  FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
         |  WHERE round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) >= 0.5),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT doc_a AS a, doc_b AS b FROM pairs
         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
         |reach(a, b) AS (
