@@ -11,6 +11,10 @@ import graft.operators.Dedup
   * should track corpus size ~linearly while the gram join's pair volume
   * grows super-linearly — the measured basis for wiring cluster edges to
   * the LSH path (Dedup.clusterEdges).
+  *
+  * NOTE: the 10x row's naive gram-pair count needs a bigger driver heap
+  * than the 8g default — run with SPARK_DRIVER_MEM=48g (the naive join is
+  * the measured ANTI-pattern; the operators themselves stay within 8g).
   */
 object ScalingReport {
   def main(args: Array[String]): Unit = {
