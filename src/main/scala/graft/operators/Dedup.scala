@@ -65,34 +65,73 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
 
-  /** Minimum τ the exact pair path supports. The shared pair cache is
-    * prefix-filtered at THIS threshold, so every consumer filtering at
-    * τ ≥ MinTau reads an exact answer from one materialized frame —
-    * the same one-build/many-probes contract the cache always had.
+  /** Minimum τ the exact pair path supports: the naive pair cache keeps
+    * every gram-sharing pair's Jaccard, so any τ ≥ MinTau filter reads an
+    * exact answer from one materialized frame.
     */
   private[graft] val MinTau = 0.1
 
-  /** Exact token-3-gram Jaccard ≥ τ pairs (τ ≥ [[MinTau]]) via
-    * prefix-filtered gram self-join + exact verification. Exact semantics
-    * (the DuckDB oracle is the naive full self-join), but the candidate
-    * join only touches each doc's rarest-gram prefix — the frequent grams
-    * that make the naive join quadratic never enter it. [[minhashLsh]]
-    * remains the probabilistic-candidate scale path with the same verify.
+  /** τ at/above which the PPJoin prefix filter pays for itself. The prefix
+    * bound keeps n − ⌈τ·n⌉ + 1 of each doc's n grams: at τ=0.5 that halves
+    * the join input and the position filter cuts candidates 73x below the
+    * naive pair volume (measured, tools/ScalingReport) — but at τ=0.1 it
+    * keeps ~90%, so the "filtered" join is nearly the naive join while
+    * each side drags (gh, r, n) payload through a df join plus two windows,
+    * and the position filter's 4-buffer groupBy runs over a near-quadratic
+    * candidate set. Measured at the 10x corpus: the τ=0.1 prefix path took
+    * 294.7 s and OOM'd the session where the lean naive join finishes
+    * inside a 48 s full-suite run. Sub-knee output is near-quadratic no
+    * matter the algorithm, so the cheapest formulation of the quadratic —
+    * one slim (doc_id, gh) self-join feeding the overlap count directly —
+    * is the right tool below the knee.
+    */
+  private[graft] val PrefixKnee = 0.5
+
+  /** Exact token-3-gram Jaccard ≥ τ pairs (τ ≥ [[MinTau]]), routed by τ:
+    * at/above [[PrefixKnee]] the PPJoin prefix filter prunes the candidate
+    * join (rarest grams only — the quadratic bulk never enters); below the
+    * knee, where the prefix bound cannot prune, the lean naive gram
+    * self-join computes overlaps directly. Both are exact (the DuckDB
+    * oracle is the naive full self-join); [[minhashLsh]] remains the
+    * probabilistic-candidate scale path with the same verify.
     */
   def ngramJaccard(spark: SparkSession, dir: String, tau: Double = MinTau): DataFrame = {
     require(tau >= MinTau,
-      s"exact pair cache is prefix-filtered at $MinTau; tau=$tau would lose pairs")
-    pairJaccard(spark, dir).filter(col("jaccard") >= tau)
+      s"the pair cache is built for tau >= $MinTau; tau=$tau would lose pairs")
+    val pairs = if (tau >= PrefixKnee) prefixPairJaccard(spark, dir)
+    else pairJaccard(spark, dir)
+    pairs.filter(col("jaccard") >= tau)
   }
 
-  /** Verified pair Jaccard over all [[MinTau]]-prefix candidate pairs,
-    * cached: every consumer (the τ=0.1 oracle query, sub-knee cluster
-    * edges, any threshold sweep at τ ≥ MinTau) filters the SAME
-    * materialized pair stats instead of re-running the join.
+  /** Naive pair Jaccard over ALL gram-sharing doc pairs, cached — the
+    * sub-knee operating point. One slim self-join on the 8-byte gram hash
+    * whose groupBy IS the overlap count (no candidate stage, no windows,
+    * no per-row payload beyond doc_id), then two count joins. Every
+    * sub-knee consumer (the τ=0.1 oracle query, low-τ cluster edges,
+    * threshold sweeps) filters the SAME materialized frame.
     */
   private def pairJaccard(spark: SparkSession, dir: String): DataFrame = {
     val g = shingles(documents(spark, dir))
-    tracked(verifiedJaccard(g, prefixCandidates(g, MinTau)))
+    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = g.as("a").join(g.as("b"),
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("s"))
+    tracked(shared
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("s").cast("double") /
+          (col("ca.n") + col("cb.n") - col("s")).cast("double"), 4).as("jaccard")))
+  }
+
+  /** Verified pair Jaccard over the [[PrefixKnee]]-prefix candidate pairs,
+    * cached: every τ ≥ [[PrefixKnee]] consumer filters the SAME
+    * materialized pair stats instead of re-running the candidate join.
+    */
+  private def prefixPairJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val g = shingles(documents(spark, dir))
+    tracked(verifiedJaccard(g, prefixCandidates(g, PrefixKnee)))
   }
 
   /** PPJoin-style prefix filter (Chaudhuri et al., "A Primitive Operator
@@ -116,9 +155,13 @@ object Dedup {
     * frequent matches late and cannot reach the required
     * α = ⌈τ/(1+τ)·(n_a+n_b)⌉, which is exactly the quadratic bulk.
     *
-    * Thresholds are compared in exact integer math with τ rounded DOWN at
-    * 10⁻⁶ granularity — float rounding may only enlarge a prefix or relax
-    * a bound, never prune a true pair.
+    * Thresholds are compared in exact integer math at 10⁻⁶ granularity,
+    * rounded DOWN and then slackened by HALF THE VERIFY STAGE'S ROUNDING
+    * ULP (50/10⁶ = 0.00005): the verify filter compares round(J, 4) ≥ τ,
+    * which admits pairs with true J ∈ [τ − 0.00005, τ), so candidates are
+    * generated at τ′ = τ − 0.00005 to guarantee every pair that can pass
+    * the rounded comparison survives pruning. Under-estimating τ may only
+    * enlarge a prefix or relax a bound — never prune a true pair.
     *
     * Scale: df counting, the doc-frequency rank, and the prefix join are
     * all single hash shuffles on gh or doc_id — linear in gram instances;
@@ -126,7 +169,9 @@ object Dedup {
     */
   private[graft] def prefixCandidates(g: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tauScaled = math.floor(tau * 1e6).toLong // ≤ τ: under-estimate = safe
+    // ≤ τ − half of round(·,4)'s ulp: see the scaladoc — a borderline pair
+    // whose true J rounds UP to τ must still generate a candidate.
+    val tauScaled = math.floor(tau * 1e6).toLong - 50L
     val dfreq = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))
     val wDoc = Window.partitionBy(col("doc_id"))

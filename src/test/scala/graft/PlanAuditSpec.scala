@@ -94,8 +94,8 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus must be scanned once:\n${plan.take(1500)}")
   }
 
-  test("dedup_ngram_jaccard: prefix-filtered candidates, never a full gram self-join") {
-    val plan = planOf(graft.operators.Dedup.ngramJaccard(spark, sfDir))
+  test("dedup_ngram_jaccard at the knee: prefix-filtered candidates, not the naive join") {
+    val plan = planOf(graft.operators.Dedup.ngramJaccard(spark, sfDir, tau = 0.5))
     // The candidate join's inputs are rank-filtered prefixes: the prefix
     // bound (r <= n - ceil(tau*n) + 1) must appear as a Filter above the
     // rank window before any self-join.
@@ -103,6 +103,19 @@ class PlanAuditSpec extends SparkSpec {
       "global-order ranks must be computed for the prefix bound")
     assert("(?is)999999.*div 1000000".r.findFirstIn(plan).isDefined,
       s"integer-math prefix bound missing from the plan:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup_ngram_jaccard sub-knee: lean naive join — no rank windows, no df payload") {
+    // Below the prune-effective knee the prefix machinery costs more than
+    // it saves (10x corpus: 294.7 s + session OOM vs in-suite for the lean
+    // join) — the default-tau plan must be the slim (doc_id, gh) self-join:
+    // no window over the gram frame, no doc-frequency join feeding ranks.
+    val plan = planOf(graft.operators.Dedup.ngramJaccard(spark, sfDir))
+    assert(!plan.contains("row_number"),
+      s"sub-knee tau must not pay the prefix-rank windows:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      "sub-knee pair stats must aggregate without any window operator")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 

@@ -150,10 +150,12 @@ class TextDedupSpec extends SparkSpec {
       assert((exact -- pp).isEmpty, s"tau=$tau prefix filter MISSED: ${exact -- pp}")
       assert((pp -- exact).isEmpty, s"tau=$tau EXTRA pairs: ${pp -- exact}")
     }
-    // The candidate cut — the reason the prefix join replaces the naive
-    // one: candidates must be a strict subset of the gram-sharing pairs.
+    // The candidate cut — the reason the prefix join exists at the knee:
+    // candidates must be a strict subset of the gram-sharing pairs. (Sub-
+    // knee taus deliberately route to the lean naive join instead — the
+    // prefix bound prunes too little there to pay for its windows.)
     val allSharing = naive.count()
-    val cand = Dedup.prefixCandidates(g, Dedup.MinTau).count()
+    val cand = Dedup.prefixCandidates(g, Dedup.PrefixKnee).count()
     assert(cand < allSharing,
       s"prefix filter must prune candidates: cand=$cand sharing=$allSharing")
   }
