@@ -51,17 +51,37 @@ object Tables {
     spark.read.parquet(s"$dir/nation.parquet")
   def region(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/region.parquet")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read nanos as long and integer-divide to micros —
-    * identical to DuckDB's nanos→TIMESTAMP truncation, so oracle compares
-    * agree. (Double division would lose precision: epoch-nanos ≈ 1.7e18 >
-    * 2^53.)
+  /** `events.ts` has shipped in two physical encodings: parquet
+    * TIMESTAMP(NANOS) (which Spark 4 refuses to read as a timestamp — with
+    * `nanosAsLong` it surfaces as a raw-nanos LongType) and plain
+    * TIMESTAMP_MICROS (a regular TimestampType). Adapt on the footer
+    * schema: nanos-long is integer-divided to micros — identical to
+    * DuckDB's nanos→TIMESTAMP truncation, so oracle compares agree (double
+    * division would lose precision: epoch-nanos ≈ 1.7e18 > 2^53) — and
+    * micros is already the timestamp both engines see.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    eventsTsType(spark, dir) match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ: same micros, reinterpreted in session tz
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
+
+  /** `dir`'s events.ts type as the parquet footer reports it: LongType for
+    * the legacy TIMESTAMP(NANOS) encoding (under `nanosAsLong`),
+    * TimestampNTZType for pyarrow's tz-less TIMESTAMP_MICROS, TimestampType
+    * for tz-adjusted micros. One footer read per call — planning-time only,
+    * never per-row.
+    */
+  def eventsTsType(spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")

@@ -113,18 +113,26 @@ object CdcStream {
     f.delete(): Unit
   }
 
-  /** The events parquet as an unbounded stream (file source; ts arrives as
-    * raw nanos because parquet TIMESTAMP(NANOS) isn't a Spark type).
+  /** The events parquet as an unbounded stream. Downstream contract: `ts`
+    * is raw epoch-NANOS long (every consumer does `ts DIV 1000` → micros).
+    * The file has shipped as both TIMESTAMP(NANOS) (read as long under
+    * `nanosAsLong`) and TIMESTAMP_MICROS (a real TimestampType) — a file
+    * stream needs an explicit schema matching the file, so probe the
+    * footer (one batch-read planning call) and normalize micros back to
+    * the nanos-long contract (2024 epoch-micros ×1000 ≈ 1.7e18 < 2^63).
     */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = graft.Tables.eventsTsType(spark, dir)
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // File-source streams take a directory; select just the events file.
-    spark.readStream.schema(schema)
+    val s = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (tsType == LongType) s
+    else s.withColumn("ts",
+      unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and return

@@ -15,12 +15,7 @@ object ProbeStreamDrain {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.streaming.CdcStream.kafkaFormat(spark, dir).count() // warm
     (1 to 3).foreach { i =>
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val ev = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = graft.streaming.CdcStream.eventsStream(spark, dir)
         .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
           col("user_id"), col("event_type"), col("props"))
       val out = graft.cdc.Cdc.kafkaFormatProjection(ev)

@@ -298,8 +298,10 @@ class PlanAuditSpec extends SparkSpec {
     // reach a join input. Correctness asserted against independently
     // computed hot-key truth.
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // Tables.events normalizes either shipped ts encoding (nanos-long or
+    // TIMESTAMP_MICROS) to a TimestampType column, so the rewritten temp
+    // corpus is always micros and the truth math below is encoding-free.
+    val raw = graft.Tables.events(spark, sfDir)
     val uHot = 1500L // >= max(user_id)+1 rounded to 12 at every SF here
     val skewed = raw.withColumn("user_id",
       when(pmod(col("event_id") * lit(2654435761L), lit(100)) < 20,
@@ -311,8 +313,8 @@ class PlanAuditSpec extends SparkSpec {
       val hotTruth = skewed.filter(col("user_id") >= uHot)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
-          max(when(col("event_type") =!= "error", col("ts"))).as("u"),
-          max(when(col("event_type") === "error", col("ts"))).as("d"))
+          max(when(col("event_type") =!= "error", unix_micros(col("ts")))).as("u"),
+          max(when(col("event_type") === "error", unix_micros(col("ts")))).as("d"))
         .collect().map(r => r.getLong(0) ->
           (r.getLong(1),
             if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
