@@ -31,6 +31,15 @@ Extra modes (4th arg):
   (deterministic by event_id), the hot-PK change-stream shape a uniform
   synthetic corpus never exercises. Channel hash (%4) is preserved, so
   per-channel ops see one ~SKEW_PCT/4 hot key each.
+- `embeddings`: write ONLY a factor-x embeddings table (streamed one
+  replica at a time) — the vector-suite scale point. Replica 0 is the
+  original, so the deterministic seed structure (IVF centroids = vec_id
+  < 16, batched-query sets = vec_id < 8) is preserved; replica i > 0
+  offsets vec_id and adds a small deterministic per-(vec, replica, dim)
+  perturbation (~2% component scale, integer-hash PRN) so replicas are
+  near the original in cosine but never exact duplicates — top-k
+  structure stays non-degenerate while cluster geometry (and therefore
+  IVF assignment balance) is preserved.
 
 Usage: python3 scripts/make_sf1.py [src_dir] [dst_dir] [factor] [mode]
 """
@@ -156,8 +165,41 @@ def write_events_skew(ev):
           f"PKs {u_hot}..{u_hot + 3})")
 
 
+def write_embeddings_only(emb):
+    """factor-x embeddings via a streaming writer (one replica in RAM at a
+    time). vec_id offsets by a multiple of 1000; embeddings perturbed per
+    (vec_id, replica, dim) with an integer-hash PRN in [-2%, +2%] of the
+    component scale — deterministic, so reruns are bit-identical."""
+    import numpy as np
+    emb = emb.replace_schema_metadata(None)
+    v_off = round_up(pc.max(emb.column("vec_id")).as_py() + 1, 1000)
+    vid = emb.column("vec_id").to_numpy()
+    lab = emb.column("label")
+    mat = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+    n, dim = mat.shape
+    scale = 0.02 * float(np.abs(mat).mean())
+    dims = np.arange(dim, dtype=np.int64)
+    # h(v, i, p) = multiplicative-hash mix, mapped to [-1, 1)
+    hv = (vid[:, None] * 2654435761 + dims[None, :] * 40503) % (1 << 31)
+    with pq.ParquetWriter(DST / "embeddings.parquet", emb.schema) as w:
+        w.write_table(emb)
+        for i in range(1, FACTOR):
+            prn = ((hv + i * 2246822519) * 2654435761 % (1 << 31)) / float(1 << 30) - 1.0
+            pert = (mat + scale * prn).astype(np.float32)
+            w.write_table(pa.table(
+                [pa.array(vid + v_off * i, type=pa.int64()),
+                 pa.array(list(pert)),
+                 lab],
+                names=["vec_id", "embedding", "label"]).cast(emb.schema))
+    print(f"wrote {DST}/embeddings.parquet x{FACTOR} (v_off={v_off}, "
+          f"pert_scale={scale:.4f})")
+
+
 def main():
     DST.mkdir(parents=True, exist_ok=True)
+    if MODE == "embeddings":
+        write_embeddings_only(pq.read_table(SRC / "embeddings.parquet"))
+        return
     if MODE == "events":
         write_events_only(pq.read_table(SRC / "events.parquet"))
         # stream_vec_search scores the event stream against embeddings —

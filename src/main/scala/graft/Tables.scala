@@ -62,8 +62,10 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val tsType = eventsTsType(spark, dir) // also sets nanosAsLong on a miss
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    eventsTsType(spark, dir) match {
+    tsType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
@@ -76,13 +78,19 @@ object Tables {
   /** `dir`'s events.ts type as the parquet footer reports it: LongType for
     * the legacy TIMESTAMP(NANOS) encoding (under `nanosAsLong`),
     * TimestampNTZType for pyarrow's tz-less TIMESTAMP_MICROS, TimestampType
-    * for tz-adjusted micros. One footer read per call — planning-time only,
-    * never per-row.
+    * for tz-adjusted micros. Memoized per directory (a corpus never changes
+    * encoding mid-session) — the probe is a footer read at planning time,
+    * but every batch query and every stream drain starts with one, so a
+    * long-lived bench session would otherwise pay file-listing per call.
     */
-  def eventsTsType(spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-  }
+  def eventsTsType(spark: SparkSession, dir: String): org.apache.spark.sql.types.DataType =
+    tsTypeCache.computeIfAbsent(dir, { d =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    })
+
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
