@@ -341,9 +341,30 @@ object Dedup {
     if (tau >= 0.5) minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b"))
     else ngramJaccard(spark, dir, tau).select(col("doc_a"), col("doc_b"))
 
+  /** Converged label frames, memoized per (session, dir, τ, maxIter): the
+    * propagation loop's output is pair-graph-sized derived state (doc_id →
+    * cluster_id for pair-involved docs, localCheckpoint'ed so it is
+    * self-contained), and every downstream consumer — the clusters query
+    * itself, [[Pipeline.cleanCorpus]]'s canonical gate — needs the SAME
+    * fixpoint. Without this the iterative loop (a driver-sequenced chain
+    * of join+agg jobs that no plan-equality cache can dedupe) re-runs per
+    * consumer. Session-keyed: DataFrames are session-bound.
+    */
+  private val convergedLabels = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Double, Int), DataFrame]()
+
   def clusters(spark: SparkSession, dir: String, tau: Double = 0.5,
       maxIter: Int = 20): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"))
+    val labels = convergedLabels.computeIfAbsent((spark, dir, tau, maxIter),
+      { _ => propagateLabels(spark, dir, tau, maxIter) })
+    docs.join(labels.withColumnRenamed("cluster_id", "pair_cluster"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("pair_cluster"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  private def propagateLabels(spark: SparkSession, dir: String, tau: Double,
+      maxIter: Int): DataFrame = {
     val pairs = clusterEdges(spark, dir, tau)
     val sym = tracked(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -377,9 +398,7 @@ object Dedup {
       labels = next.drop("lowered")
       iter += 1
     }
-    docs.join(labels.withColumnRenamed("cluster_id", "pair_cluster"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("pair_cluster"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    labels
   }
 
   /** SimHash hash-family constants. The per-gram hash and the 62 bit
