@@ -95,6 +95,11 @@ object SparkEntry {
     "cdc_task_metrics" -> (graft.cdc.Cdc.taskMetrics _),
     "stream_msgpack_batch" -> ((s, d) => graft.streaming.CdcStream.msgpackBatch(s, d)),
     "cdc_channel_mapping" -> (graft.cdc.Cdc.channelMapping _),
+    "text_repetition" -> (Text.repetition _),
+    "q_stratified_sample" -> (Relational.qStratifiedSample _),
+    "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "vec_kmeans_refine" -> ((s, d) => Similarity.kmeansRefine(s, d)),
+    "vec_scalar_quantize" -> (Similarity.scalarQuantize _),
   )
 
   /** DuckDB-equivalent SQL per query; same column aliases as the Spark side
@@ -1247,6 +1252,114 @@ object SparkEntry {
         |  TRUE AS approx_ok
         |FROM events""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
+    // One exploded (doc_id, k, gram) frame for 1/2/3-grams, as on the
+    // Spark side; fractions are of gram POSITIONS (top2 count / (n-1)
+    // 2-gram slots), so no overlap-degenerate value can exceed 1.
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, 1 AS k, t[i] AS g
+        |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 2, t[i] || ' ' || t[i+1]
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i) WHERE len(t) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 3, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i) WHERE len(t) >= 3),
+        |c AS (SELECT doc_id, k, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |s AS (SELECT doc_id, k, max(c) AS mx, sum(c) AS tot, count(*) AS dst
+        |  FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(max(CASE WHEN k = 1 THEN tot END) AS BIGINT) AS n_tokens,
+        |  round(CAST(max(CASE WHEN k = 1 THEN mx END) AS DOUBLE)
+        |    / max(CASE WHEN k = 1 THEN tot END), 4) AS top_word_frac,
+        |  round(coalesce(CAST(max(CASE WHEN k = 2 THEN mx END) AS DOUBLE)
+        |    / max(CASE WHEN k = 2 THEN tot END), 0.0), 4) AS top2_frac,
+        |  round(coalesce(CAST(max(CASE WHEN k = 3 THEN tot END)
+        |      - max(CASE WHEN k = 3 THEN dst END) AS DOUBLE)
+        |    / max(CASE WHEN k = 3 THEN tot END), 0.0), 4) AS dup3_frac
+        |FROM s GROUP BY doc_id""".stripMargin,
+    // Knuth multiplicative hash, exact in BIGINT on both engines.
+    "q_stratified_sample" ->
+      """SELECT o_orderstatus,
+        |  CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000 < 800 THEN 'train'
+        |       WHEN (o_orderkey * 2654435761) % 4294967296 % 1000 < 900 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    // Same IVF assignment CTE as vec_ivf_search (all vec_ids assigned),
+    // then within-cluster pairs only; dup = has an earlier cluster-mate at
+    // rounded cos >= 0.45.
+    "dedup_semantic" ->
+      """WITH n AS MATERIALIZED (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT n.vec_id, cid AS cluster,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(n.embedding, ce),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * cn) DESC,
+        |        cid ASC) AS rn
+        |    FROM n, cents) t WHERE rn = 1),
+        |pr AS (
+        |  SELECT a2.vec_id AS vec_id, a1.cluster AS cluster,
+        |    round(list_sum(list_transform(list_zip(n1.embedding, n2.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n1.nrm * n2.nrm), 4) AS cos
+        |  FROM assign a1 JOIN assign a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+        |  JOIN n n1 ON n1.vec_id = a1.vec_id JOIN n n2 ON n2.vec_id = a2.vec_id)
+        |SELECT vec_id, cluster, count(*) AS n_earlier, max(cos) AS max_cos
+        |FROM pr WHERE cos >= 0.45 GROUP BY 1, 2""".stripMargin,
+    // Same assignment, then one Lloyd step: per-(cluster, dim) mean and
+    // the cosine between seed centroid and refined mean.
+    "vec_kmeans_refine" ->
+      """WITH n AS MATERIALIZED (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT n.vec_id, cid AS cluster,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(n.embedding, ce),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * cn) DESC,
+        |        cid ASC) AS rn
+        |    FROM n, cents) t WHERE rn = 1),
+        |m AS (
+        |  SELECT a.cluster, i AS dim, avg(CAST(e.embedding[i] AS DOUBLE)) AS m, count(*) AS n
+        |  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id,
+        |    unnest(generate_series(1, len(e.embedding))) AS u(i)
+        |  GROUP BY 1, 2)
+        |SELECT m.cluster, max(m.n) AS n_assigned,
+        |  round(sum(m.m * CAST(ce[dim] AS DOUBLE))
+        |    / (sqrt(sum(m.m * m.m)) * max(cn)), 4) AS shift_cos,
+        |  round(max(CASE WHEN dim = 1 THEN m.m END), 4) AS c1_new
+        |FROM m JOIN cents c ON m.cluster = c.cid
+        |GROUP BY 1""".stripMargin,
+    // Per-dim min/max refit identically (exact, order-independent), then
+    // the same floor(x + 0.5) code map and sequential list-fold error sums.
+    "vec_scalar_quantize" ->
+      """WITH st AS (
+        |  SELECT i AS dim, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+        |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        |  GROUP BY 1),
+        |lu AS (SELECT list(mn ORDER BY dim) AS mns, list(mx - mn ORDER BY dim) AS sps FROM st),
+        |e AS (
+        |  SELECT vec_id,
+        |    list_transform(generate_series(1, len(embedding)), i ->
+        |      abs(CAST(embedding[i] AS DOUBLE) - (mns[i]
+        |        + floor((CAST(embedding[i] AS DOUBLE) - mns[i]) / sps[i] * 255.0 + 0.5)
+        |          * sps[i] / 255.0))) AS err,
+        |    CAST(floor((CAST(embedding[1] AS DOUBLE) - mns[1]) / sps[1] * 255.0 + 0.5) AS BIGINT) AS code1
+        |  FROM embeddings, lu)
+        |SELECT vec_id, code1,
+        |  round(list_sum(err) / len(err), 6) AS mae,
+        |  round(list_max(err), 6) AS max_err
+        |FROM e""".stripMargin,
   )
 
   /** Contamination oracle: the k=12 winnow restated with unrolled Horner

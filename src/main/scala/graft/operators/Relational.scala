@@ -222,4 +222,31 @@ object Relational {
       .agg(count(lit(1)).as("cnt"),
         round(avg(col("k")), 4).as("avg_k"),
         max(col("k")).as("max_k"))
+
+  /** Deterministic stratified train/val/test split — the dataset-sharding
+    * primitive a training pipeline needs: every row lands in the same split
+    * on every run and every engine, with NO stored split column, via a
+    * Knuth multiplicative hash of the key (`(key × 2654435761) mod 2³²`,
+    * exact in 64-bit — keys ≤ ~10⁹ keep the product ≪ 2⁶³) bucketed to
+    * 0..999 → train <800 / val <900 / test. The returned audit proves the
+    * split: per (o_orderstatus, split) row counts and exact DECIMAL money
+    * sums, so strata proportions are visible per class.
+    *
+    * Scale: the split assignment is a pure narrow map over the scan (no
+    * sampling pass, no RNG state, no shuffle); the audit is one grouped agg
+    * on a tiny key. Selecting one split at 100 TB is `WHERE bucket < k` —
+    * a scan-level filter that composes with partition pruning, unlike
+    * `df.randomSplit` which is neither deterministic across runs nor
+    * pushdown-able.
+    */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L))
+      .mod(lit(1000L))
+    val split = when(bucket < 800, lit("train"))
+      .when(bucket < 900, lit("val")).otherwise(lit("test"))
+    orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"), split.as("split"))
+      .groupBy(col("o_orderstatus"), col("split"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("sum_price"))
+  }
 }

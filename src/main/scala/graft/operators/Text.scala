@@ -228,4 +228,54 @@ object Text {
       .orderBy(col("freq").desc, col("gram").asc)
       .limit(topN)
   }
+
+  /** Per-doc repetition filters (Gopher-style; Rae et al. 2021 §A1.1):
+    * fraction of token positions held by the most frequent token
+    * (`top_word_frac`), fraction of 2-gram positions held by the most
+    * frequent 2-gram (`top2_frac`), and the duplicate-3-gram fraction
+    * (`dup3_frac` = 1 − distinct/total 3-gram positions) — the standard
+    * "degenerate repetition" pre-training filters that [[quality]]'s
+    * uniq/stop/punct ratios don't cover.
+    *
+    * One exploded (doc_id, kind, gram) frame carries all three gram orders
+    * through a SINGLE shuffle chain: groupBy (doc_id, kind, gram) with
+    * map-side partial counts, then (doc_id, kind) stats, then a conditional
+    * agg back to one row per doc. Both shuffles are doc-grain keys, so the
+    * operator scales with the corpus like any grouped aggregation — no
+    * per-doc window, no cross-doc state. Docs with fewer than 2 (resp. 3)
+    * tokens have no 2-gram (3-gram) positions; their fractions are 0.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("tk")
+    def gramsOf(nn: Int): Column =
+      when(size(t) < nn, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - (nn - 1)),
+          i => concat_ws(" ", (0 until nn).map(j => element_at(t, i + j)): _*)))
+    val tagged = flatten(array(
+      transform(gramsOf(1), g => struct(lit(1).as("k"), g.as("g"))),
+      transform(gramsOf(2), g => struct(lit(2).as("k"), g.as("g"))),
+      transform(gramsOf(3), g => struct(lit(3).as("k"), g.as("g")))))
+    def forK(k: Int, c: Column): Column = max(when(col("k") === k, c))
+    documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), explode(tagged).as("kg"))
+      .select(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
+      .groupBy(col("doc_id"), col("k"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"),
+        count(lit(1)).as("dst"))
+      .groupBy(col("doc_id"))
+      .agg(
+        forK(1, col("tot")).cast("long").as("n_tokens"),
+        round(forK(1, col("mx")).cast("double") / forK(1, col("tot")), 4)
+          .as("top_word_frac"),
+        round(coalesce(
+          forK(2, col("mx")).cast("double") / forK(2, col("tot")), lit(0.0)), 4)
+          .as("top2_frac"),
+        round(coalesce(
+          (forK(3, col("tot")) - forK(3, col("dst"))).cast("double") /
+            forK(3, col("tot")), lit(0.0)), 4)
+          .as("dup3_frac"))
+  }
 }

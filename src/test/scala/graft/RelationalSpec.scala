@@ -72,4 +72,23 @@ class RelationalSpec extends SparkSpec {
       r.getAs[String]("event_type") != "ALL" && r.getAs[Long]("channel") != -1L)
     assert(leaves.map(_.getAs[Long]("cnt")).sum == n)
   }
+
+  test("q_stratified_sample: splits partition orders deterministically at ~80/10/10") {
+    val rows = Relational.qStratifiedSample(spark, sfDir).collect()
+    val n = graft.Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == n, "splits must partition the table")
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_orders")).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    val trainFrac = bySplit("train").toDouble / n
+    assert(trainFrac > 0.75 && trainFrac < 0.85, s"train frac $trainFrac far from 0.8")
+    // Deterministic: a re-run yields the identical audit (no RNG state).
+    val again = Relational.qStratifiedSample(spark, sfDir).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // The split column is derived in a narrow map: the scan reads only the
+    // three referenced columns and the audit hash-aggregates.
+    val plan = planOf(Relational.qStratifiedSample(spark, sfDir))
+    assert(plan.contains("HashAggregate") && !plan.contains("SortAggregate"))
+    assert(!plan.contains("o_orderdate"), "unreferenced columns must be pruned from the scan")
+  }
 }

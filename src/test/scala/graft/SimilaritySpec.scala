@@ -153,4 +153,76 @@ class SimilaritySpec extends SparkSpec {
     // Bounded candidate lists: ranks can never exceed the list size.
     assert(rows.forall(r => r.getAs[Long]("rank_a") <= 100 && r.getAs[Long]("rank_b") <= 100))
   }
+
+  private def seqDot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("dedup_semantic equals a driver-side SemDeDup replay (assign + within-cluster pairs)") {
+    val tau = 0.45
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val nrm = vecs.map { case (id, e) => id -> math.sqrt(seqDot(e, e)) }.toMap
+    val cents = vecs.filter(_._1 < 16)
+    val assign = vecs.map { case (id, e) =>
+      val cid = cents.map { case (c, ce) =>
+        (c, seqDot(e, ce) / (nrm(id) * nrm(c)))
+      }.sortBy { case (c, cos) => (-cos, c) }.head._1
+      id -> cid
+    }.toMap
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long, Double)]
+    for {
+      (ia, ea) <- vecs; (ib, eb) <- vecs
+      if ia < ib && assign(ia) == assign(ib)
+      cos = r4(seqDot(ea, eb) / (nrm(ia) * nrm(ib))) if cos >= tau
+    } {
+      val (cl, n, mx) = expected.getOrElse(ib, (assign(ib), 0L, -2.0))
+      expected(ib) = (cl, n + 1, math.max(mx, cos))
+    }
+    val got = Similarity.semanticDedup(spark, sfDir, tau).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Long]("n_earlier"), r.getAs[Double]("max_cos"))))
+      .toMap
+    assert(got == expected.toMap, "operator must equal the sequential SemDeDup replay")
+    assert(got.nonEmpty, "corpus must exercise the duplicate path")
+  }
+
+  test("dedup_semantic pair join is an equi-join on the cluster, never a cartesian") {
+    val plan = planOf(Similarity.semanticDedup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"within-cluster pairs must equi-join on cluster:\n$plan")
+  }
+
+  test("vec_kmeans_refine: every cluster present, counts partition the corpus, shift sane") {
+    val rows = Similarity.kmeansRefine(spark, sfDir).collect()
+    assert(rows.length == 16, "each seed centroid self-assigns, so no cluster is empty")
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_assigned")).sum == n, "assignment must partition the corpus")
+    rows.foreach { r =>
+      val s = r.getAs[Double]("shift_cos")
+      assert(s > 0.0 && s <= 1.0001, s"refined mean should stay centroid-aligned, got $s")
+    }
+  }
+
+  test("vec_scalar_quantize: SQ8 reconstruction error bounded by half a quantization step") {
+    val spans = Similarity.dimStats(spark, sfDir).collect()
+      .map(r => r.getAs[Double]("mx") - r.getAs[Double]("mn"))
+    // Rounded-to-nearest codes put every dim within span/255/2 of its
+    // value (+ the 4dp rounding of the fitted stats the bound reuses).
+    val bound = spans.max / 510.0 + 1e-4
+    val rows = Similarity.scalarQuantize(spark, sfDir).collect()
+    assert(rows.length == spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+    rows.foreach { r =>
+      val c = r.getAs[Long]("code1")
+      assert(c >= 0 && c <= 255, s"8-bit code out of range: $c")
+      val (mae, mx) = (r.getAs[Double]("mae"), r.getAs[Double]("max_err"))
+      assert(mae <= mx + 1e-9)
+      assert(mx <= bound, s"max_err $mx exceeds half-step bound $bound")
+    }
+  }
 }

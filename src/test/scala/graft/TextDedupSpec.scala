@@ -265,4 +265,31 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getAs[Long]("hamming") <= 3)
     }
   }
+
+  test("text_repetition matches a direct per-doc recomputation and stays in range") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def expect(text: String): (Long, Double, Double, Double) = {
+      val t = text.trim.toLowerCase.split("\\s+").toSeq
+      def grams(n: Int): Seq[String] = t.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      def top(gs: Seq[String]): Long = gs.groupBy(identity).values.map(_.size).max.toLong
+      val g2 = grams(2); val g3 = grams(3)
+      (t.size.toLong,
+        r4(top(t).toDouble / t.size),
+        if (g2.isEmpty) 0.0 else r4(top(g2).toDouble / g2.size),
+        if (g3.isEmpty) 0.0 else r4((g3.size - g3.distinct.size).toDouble / g3.size))
+    }
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.operators.Text.repetition(spark, sfDir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val got = (r.getAs[Long]("n_tokens"), r.getAs[Double]("top_word_frac"),
+        r.getAs[Double]("top2_frac"), r.getAs[Double]("dup3_frac"))
+      assert(got == expect(texts(r.getAs[Long]("doc_id"))),
+        s"doc ${r.getAs[Long]("doc_id")}: $got")
+      assert(got._2 > 0.0 && got._2 <= 1.0 && got._3 <= 1.0 && got._4 < 1.0)
+    }
+  }
 }
