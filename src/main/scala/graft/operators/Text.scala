@@ -237,12 +237,15 @@ object Text {
     * "degenerate repetition" pre-training filters that [[quality]]'s
     * uniq/stop/punct ratios don't cover.
     *
-    * One exploded (doc_id, kind, gram) frame carries all three gram orders
-    * through a SINGLE shuffle chain: groupBy (doc_id, kind, gram) with
-    * map-side partial counts, then (doc_id, kind) stats, then a conditional
-    * agg back to one row per doc. Both shuffles are doc-grain keys, so the
-    * operator scales with the corpus like any grouped aggregation — no
-    * per-doc window, no cross-doc state. Docs with fewer than 2 (resp. 3)
+    * All three statistics are run-length facts about the SORTED per-doc
+    * gram arrays (most-frequent count = longest equal-run, distinct count
+    * = number of run starts), so the whole operator is a narrow per-row
+    * map: sort the token/2-gram/3-gram arrays (n log n in the bounded
+    * per-doc token count) and fold runs — NO explode, NO shuffle, no
+    * cross-doc state at any corpus size. The first formulation (explode →
+    * doc-grain groupBy chain) measured 7.7 s at the 10x corpus vs well
+    * under 1 s for this map: it shuffled ~6M (doc, kind, gram) rows to
+    * compute what each row already knew. Docs with fewer than 2 (resp. 3)
     * tokens have no 2-gram (3-gram) positions; their fractions are 0.
     */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
@@ -251,31 +254,35 @@ object Text {
       when(size(t) < nn, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(t) - (nn - 1)),
           i => concat_ws(" ", (0 until nn).map(j => element_at(t, i + j)): _*)))
-    val tagged = flatten(array(
-      transform(gramsOf(1), g => struct(lit(1).as("k"), g.as("g"))),
-      transform(gramsOf(2), g => struct(lit(2).as("k"), g.as("g"))),
-      transform(gramsOf(3), g => struct(lit(3).as("k"), g.as("g")))))
-    def forK(k: Int, c: Column): Column = max(when(col("k") === k, c))
-    documents(spark, dir)
+    // Longest equal-run in a sorted array: fold (prev, run, best).
+    def maxRun(sorted: Column): Column =
+      aggregate(sorted,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+    // Distinct values in a sorted array = number of run starts.
+    def nDistinct(sorted: Column): Column =
+      size(filter(sequence(lit(1), size(sorted)), i =>
+        (i === 1) || element_at(sorted, i) =!= element_at(sorted, i - 1))).cast("long")
+    val n = size(t).cast("double")
+    graft.Tables.spread(documents(spark, dir))
       .select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), explode(tagged).as("kg"))
-      .select(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
-      .groupBy(col("doc_id"), col("k"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"),
-        count(lit(1)).as("dst"))
-      .groupBy(col("doc_id"))
-      .agg(
-        forK(1, col("tot")).cast("long").as("n_tokens"),
-        round(forK(1, col("mx")).cast("double") / forK(1, col("tot")), 4)
-          .as("top_word_frac"),
-        round(coalesce(
-          forK(2, col("mx")).cast("double") / forK(2, col("tot")), lit(0.0)), 4)
-          .as("top2_frac"),
-        round(coalesce(
-          (forK(3, col("tot")) - forK(3, col("dst"))).cast("double") /
-            forK(3, col("tot")), lit(0.0)), 4)
+      .select(col("doc_id"), col("tk"),
+        array_sort(col("tk")).as("s1"),
+        array_sort(gramsOf(2)).as("s2"),
+        array_sort(gramsOf(3)).as("s3"))
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        round(maxRun(col("s1")).cast("double") / n, 4).as("top_word_frac"),
+        round(when(size(t) < 2, lit(0.0))
+          .otherwise(maxRun(col("s2")).cast("double") / (n - 1.0)), 4).as("top2_frac"),
+        round(when(size(t) < 3, lit(0.0))
+          .otherwise((n - 2.0 - nDistinct(col("s3")).cast("double")) / (n - 2.0)), 4)
           .as("dup3_frac"))
   }
 }

@@ -116,6 +116,11 @@ class TextDedupSpec extends SparkSpec {
       Text.langid(spark, sfDir), Text.fingerprint(spark, sfDir)).foreach { df =>
       assert(!planOf(df).contains("Exchange"), "per-row text op must not shuffle")
     }
+    // repetition spread()s tiny scans for parallelism (round-robin, a
+    // no-op at real sizes) but must never shuffle BY KEY — the run-length
+    // formulation has no per-key state.
+    assert(!planOf(Text.repetition(spark, sfDir)).contains("hashpartitioning"),
+      "repetition must stay a per-row map, no keyed shuffle")
   }
 
   test("dedup_exact: groups partition the corpus") {
