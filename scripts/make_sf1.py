@@ -31,6 +31,12 @@ Extra modes (4th arg):
   (deterministic by event_id), the hot-PK change-stream shape a uniform
   synthetic corpus never exercises. Channel hash (%4) is preserved, so
   per-channel ops see one ~SKEW_PCT/4 hot key each.
+- `documents`: write ONLY a factor-x documents table (streamed one
+  replica at a time) with BOUNDED near-dup structure: factor/10
+  vocabulary-disjoint groups x 10 near-dup replicas, so the pair count
+  grows linearly with the factor (real-corpus shape) instead of
+  quadratically-sized dup clusters. The text/dedup-suite scale point;
+  embeddings copied alongside for dedup_semantic.
 - `embeddings`: write ONLY a factor-x embeddings table (streamed one
   replica at a time) — the vector-suite scale point. Replica 0 is the
   original, so the deterministic seed structure (IVF centroids = vec_id
@@ -110,6 +116,61 @@ def mutated_documents(docs):
              pa.array(new_nchars, type=pa.int64())],
             names=["doc_id", "text", "lang", "source", "n_chars"]))
     return pa.concat_tables(parts)
+
+
+NEAR_REPLICAS = 10  # near-dup group size, held FIXED at every factor
+
+
+def write_documents_only(docs):
+    """factor-x documents with BOUNDED near-dup structure: factor = G
+    vocabulary-disjoint groups x NEAR_REPLICAS near-dup replicas. Group
+    g > 0 prefixes every token with a group tag (token identity preserved
+    WITHIN the group, zero gram overlap ACROSS groups); within each group,
+    replica i > 0 applies the same MUTATE_PCT token mutation as the `full`
+    mode. So the near-dup pair set per group matches the 10x corpus and
+    the corpus-wide pair count grows LINEARLY with the factor — the shape
+    of a real larger corpus (more dup groups), not factor-sized clusters
+    whose pair output would grow quadratically and measure nothing.
+    Streamed one (group, replica) at a time: factor=100 costs one
+    source-sized table of RAM."""
+    assert FACTOR % NEAR_REPLICAS == 0 and FACTOR >= NEAR_REPLICAS, \
+        f"documents factor must be a multiple of {NEAR_REPLICAS}"
+    groups = FACTOR // NEAR_REPLICAS
+    docs = docs.replace_schema_metadata(None)
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    sources = docs.column("source").to_pylist()
+    d_off = round_up(max(doc_ids) + 1, 1000)
+    with pq.ParquetWriter(DST / "documents.parquet", docs.schema) as w:
+        for g in range(groups):
+            for i in range(NEAR_REPLICAS):
+                if g == 0 and i == 0:
+                    w.write_table(docs)
+                    continue
+                rep = g * NEAR_REPLICAS + i
+                new_ids, new_texts, new_nchars = [], [], []
+                for did, text in zip(doc_ids, texts):
+                    toks = text.split(" ")
+                    out = [
+                        f"g{g}m{i}p{p}"
+                        if (did * 97 + i * 131 + p * 2654435761) % 100 < MUTATE_PCT
+                        and i > 0
+                        else (tok if g == 0 else f"g{g}{tok}")
+                        for p, tok in enumerate(toks)
+                    ]
+                    t = " ".join(out)
+                    new_ids.append(did + d_off * rep)
+                    new_texts.append(t)
+                    new_nchars.append(len(t))
+                w.write_table(pa.table(
+                    [pa.array(new_ids, type=pa.int64()), pa.array(new_texts),
+                     pa.array(langs), pa.array(sources),
+                     pa.array(new_nchars, type=pa.int64())],
+                    names=["doc_id", "text", "lang", "source", "n_chars"]))
+    print(f"wrote {DST}/documents.parquet x{FACTOR} "
+          f"({groups} vocab-disjoint groups x {NEAR_REPLICAS} near-dup "
+          f"replicas, {MUTATE_PCT}% mutation, d_off={d_off})")
 
 
 def events_offsets(ev):
@@ -208,6 +269,12 @@ def main():
         return
     if MODE == "skew":
         write_events_skew(pq.read_table(SRC / "events.parquet"))
+        return
+    if MODE == "documents":
+        write_documents_only(pq.read_table(SRC / "documents.parquet"))
+        # dedup_semantic reads embeddings; copy so the full text/dedup
+        # suite set runs against this dir.
+        shutil.copyfile(SRC / "embeddings.parquet", DST / "embeddings.parquet")
         return
     for t in COPY:
         shutil.copyfile(SRC / f"{t}.parquet", DST / f"{t}.parquet")
