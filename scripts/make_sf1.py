@@ -152,11 +152,15 @@ def write_documents_only(docs):
                 new_ids, new_texts, new_nchars = [], [], []
                 for did, text in zip(doc_ids, texts):
                     toks = text.split(" ")
+                    # Delimited tags ("g{g}_"): the undelimited form was
+                    # prefix-ambiguous for g >= 10 (g=1 + token "1x" ==
+                    # g=11 + token "x"), silently breaking cross-group
+                    # vocabulary disjointness above FACTOR=100.
                     out = [
-                        f"g{g}m{i}p{p}"
+                        f"g{g}_m{i}p{p}"
                         if (did * 97 + i * 131 + p * 2654435761) % 100 < MUTATE_PCT
                         and i > 0
-                        else (tok if g == 0 else f"g{g}{tok}")
+                        else (tok if g == 0 else f"g{g}_{tok}")
                         for p, tok in enumerate(toks)
                     ]
                     t = " ".join(out)

@@ -17,6 +17,27 @@ object Bench {
   private def afterQuery(spark: SparkSession, name: String): Unit =
     if (suiteOf(name) == "stream") graft.streaming.CdcStream.dropSinks(spark)
 
+  /** Untimed session warmup, run before EVERY pass: the first query of a
+    * pass otherwise pays session-level costs that belong to no query —
+    * JIT/codegen of the core engine paths and the memoized parquet footer
+    * probes in [[graft.Tables]] (measured: cdc_apply_changes 4.33 s as the
+    * first query of a driver pass vs 0.53 s warm — pure protocol noise
+    * that polluted cross-round comparison in rounds 8-10). Only SHARED
+    * infrastructure is warmed (table readers, codegen); operator-level
+    * caches (shingles, pair frames) stay billed to their first consumer.
+    * Tables absent from a partial corpus (docs-only / events-only dirs)
+    * are skipped.
+    */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    spark.range(1000).selectExpr("sum(id)").collect(): Unit
+    Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
+      Tables.events, Tables.documents, Tables.embeddings, Tables.lineitem)
+      .foreach { t =>
+        try t(spark, sfDir).limit(1).count(): Unit
+        catch { case _: Exception => () }
+      }
+  }
+
   private def releaseAll(spark: SparkSession): Unit = {
     graft.operators.Dedup.clearCaches()
     graft.operators.Text.clearCaches()
@@ -54,6 +75,7 @@ object Bench {
     val best = scala.collection.mutable.Map.empty[String, Double]
     val okOnce = scala.collection.mutable.Set.empty[String]
     (1 to repeat).foreach { pass =>
+      warmup(spark, sfDir)
       names.foreach { name =>
         val t0 = System.nanoTime()
         var ok = true
@@ -115,8 +137,12 @@ object Bench {
     // line — a truncated capture still carries the numbers that matter.
     val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$nErr,""" +
       s""""errored":$errored,"queries":$qs,"value":$total}"""
-    // Full copy on disk regardless of how much of stdout survives.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
+    // Full copy on disk regardless of how much of stdout survives. The
+    // default lands in TRACKED bench/ (not gitignored target/) so every
+    // run — pass or fail — leaves a committable artifact; see the
+    // BENCH_HISTORY.md protocol note (rounds 8 and 10 both lost failed
+    // scale runs that only ever lived under target/).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest.json")
     try {
       // A bare filename has a null parent — skip dir creation, still write.
       Option(java.nio.file.Paths.get(out).getParent)

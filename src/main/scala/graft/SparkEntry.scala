@@ -1283,8 +1283,8 @@ object SparkEntry {
     // Knuth multiplicative hash, exact in BIGINT on both engines.
     "q_stratified_sample" ->
       """SELECT o_orderstatus,
-        |  CASE WHEN (o_orderkey * 2654435761) % 4294967296 % 1000 < 800 THEN 'train'
-        |       WHEN (o_orderkey * 2654435761) % 4294967296 % 1000 < 900 THEN 'val'
+        |  CASE WHEN (CAST(o_orderkey AS DECIMAL(19,0)) * 2654435761) % 4294967296 % 1000 < 800 THEN 'train'
+        |       WHEN (CAST(o_orderkey AS DECIMAL(19,0)) * 2654435761) % 4294967296 % 1000 < 900 THEN 'val'
         |       ELSE 'test' END AS split,
         |  count(*) AS n_orders,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_price

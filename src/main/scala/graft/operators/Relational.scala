@@ -227,8 +227,10 @@ object Relational {
     * primitive a training pipeline needs: every row lands in the same split
     * on every run and every engine, with NO stored split column, via a
     * Knuth multiplicative hash of the key (`(key × 2654435761) mod 2³²`,
-    * exact in 64-bit — keys ≤ ~10⁹ keep the product ≪ 2⁶³) bucketed to
-    * 0..999 → train <800 / val <900 / test. The returned audit proves the
+    * computed in DECIMAL(30,0) so the product is EXACT for any int64 key —
+    * the earlier int64 formulation silently wrapped for keys ≳ 3.5·10⁹ in
+    * non-ANSI Spark while the oracle errored, diverging the split) bucketed
+    * to 0..999 → train <800 / val <900 / test. The returned audit proves the
     * split: per (o_orderstatus, split) row counts and exact DECIMAL money
     * sums, so strata proportions are visible per class.
     *
@@ -240,7 +242,10 @@ object Relational {
     * pushdown-able.
     */
   def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L))
+    // decimal(19,0) × decimal(10,0) → decimal(30,0): exact (no precision
+    // loss, no wrap) for the full int64 key domain on both engines.
+    val bucket = pmod(col("o_orderkey").cast("decimal(19,0)") *
+        lit(BigDecimal(2654435761L)), lit(BigDecimal(4294967296L)))
       .mod(lit(1000L))
     val split = when(bucket < 800, lit("train"))
       .when(bucket < 900, lit("val")).otherwise(lit("test"))

@@ -588,6 +588,10 @@ object Similarity {
       .orderBy(col("pos")).collect()
     val mins = stats.map(_.getDouble(1))
     val spans = stats.map(r => r.getDouble(2) - r.getDouble(1))
+    // Enforce the documented assumption instead of surfacing it as an
+    // opaque NaN-code oracle mismatch downstream.
+    require(spans.forall(_ > 0),
+      s"constant embedding dimension(s) ${spans.zipWithIndex.collect { case (s, i) if s <= 0 => i }.mkString(",")} cannot be SQ8-quantized (min == max)")
     val mnL = typedlit(mins)
     val spL = typedlit(spans)
     def codeAt(i: Column): Column =
