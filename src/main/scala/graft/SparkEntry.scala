@@ -325,7 +325,7 @@ object SparkEntry {
         |SELECT doc_a, doc_b,
         |  round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) AS jaccard
         |FROM shared JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |WHERE round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) >= 0.1""".stripMargin,
+        |WHERE round(CAST(s AS DOUBLE) / (ca.n + cb.n - s), 4) >= 0.5""".stripMargin,
     // LSH candidates are verified with EXACT Jaccard inside the operator,
     // so its output equals the exact tau=0.5 pair set whenever banding
     // recall is 1 — deterministic for fixed data and seeds, and measured

@@ -94,8 +94,18 @@ object Dedup {
     * self-join computes overlaps directly. Both are exact (the DuckDB
     * oracle is the naive full self-join); [[minhashLsh]] remains the
     * probabilistic-candidate scale path with the same verify.
+    *
+    * The DEFAULT is τ = [[PrefixKnee]]: sub-knee τ is an explicit opt-in,
+    * not an operating point this operator can promise at scale — below the
+    * knee the OUTPUT pair set itself is near-quadratic in corpus size (no
+    * algorithm fixes that; the lean naive join is merely its cheapest
+    * exact form), measured 358 s for τ=0.1 at 500k docs where the τ=0.5
+    * prefix path stays in seconds. Callers who opt into τ < [[PrefixKnee]]
+    * own that bound: keep the corpus under ~10⁵ docs (≲10⁷ gram rows), or
+    * use [[minhashLsh]]-style candidate generation with a recall target
+    * instead of an exact listing.
     */
-  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = MinTau): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String, tau: Double = PrefixKnee): DataFrame = {
     require(tau >= MinTau,
       s"the pair cache is built for tau >= $MinTau; tau=$tau would lose pairs")
     val pairs = if (tau >= PrefixKnee) prefixPairJaccard(spark, dir)
@@ -168,69 +178,103 @@ object Dedup {
     * candidates (not the corpus) pay the verify join.
     */
   private[graft] def prefixCandidates(g: DataFrame, tau: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // ≤ τ − half of round(·,4)'s ulp: see the scaladoc — a borderline pair
     // whose true J rounds UP to τ must still generate a candidate.
     val tauScaled = math.floor(tau * 1e6).toLong - 50L
     val dfreq = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val ranked = g.join(dfreq, "gh")
-      .select(col("doc_id"), col("gh"), col("df"))
-      .withColumn("r", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wDoc))
+    // Rarest-first ordering as ONE per-doc agg + an O(grams/doc · log)
+    // in-row array sort, then posexplode of JUST the prefix slice. The
+    // window formulation this replaces (row_number + count over doc_id
+    // partitions) paid a full partition sort of the whole gram frame and
+    // emitted every gram row only to filter most of them — the agg+slice
+    // shape shuffles the same rows once but sorts per-row arrays and
+    // never materializes suffix grams (measured ~22 s → ~13 s for the
+    // candidate stage at 500k docs / 26M grams).
+    val arr = g.join(dfreq, "gh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("gh")))).as("a"))
+      .select(col("doc_id"), size(col("a")).cast("long").as("n"), col("a"))
     // prefix length = n − s_min + 1, s_min = ⌈τ'·n⌉ in integer math.
-    val prefix = ranked
-      .filter(col("r") <= col("n") - expr(s"($tauScaled * n + 999999) DIV 1000000") + 1)
-      .select(col("doc_id"), col("gh"), col("r"), col("n"))
+    val prefix = arr
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(col("a"), lit(1),
+          greatest(lit(0L), col("n") - expr(s"($tauScaled * n + 999999) DIV 1000000") + 1)
+            .cast("int"))))
+      .select(col("doc_id"), col("col.gh").as("gh"), (col("pos") + 1).cast("long").as("r"),
+        col("n"))
+    // Position filter applied PER JOIN ROW, before any aggregation: the
+    // pair's min-ranks (i, j) both come from the order-minimal shared
+    // gram — ONE row of this join (rank order is the one global order on
+    // both sides) — and ub = min(na−r_a, nb−r_b)+1 is decreasing in the
+    // ranks, so a pair passes the aggregate position filter iff its
+    // minimal row passes the row filter (other rows only ever have
+    // smaller ub and are pruned harder). Keep iff ub·(1+τ') ≥ τ'·(na+nb)
+    // — integer math, no ceil needed on a direct product comparison.
+    // This replaces the former groupBy-then-filter, which aggregated the
+    // FULL shared-prefix pair set before pruning (measured at 500k docs:
+    // 104M join rows → 86M grouped pairs → 8.6M survivors; the 86M-pair
+    // aggregation was the stage's cost, not the join itself).
     prefix.as("a").join(prefix.as("b"),
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * lit(1000000L) >= lit(tauScaled) * col("b.n") &&
           col("b.n") * lit(1000000L) >= lit(tauScaled) * col("a.n"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      // min(a.r) and min(b.r) both come from the order-minimal shared
-      // gram (rank order is the one global order on both sides).
-      .agg(min(col("a.r")).as("i"), min(col("b.r")).as("j"),
-        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
-      // Position filter: s ≤ min(na−i, nb−j)+1 must reach
-      // α' = ⌈τ'·(na+nb)/(1+τ')⌉ ≤ α; keep iff ub·(1+τ') ≥ τ'·(na+nb).
-      .filter(least(col("na") - col("i"), col("nb") - col("j")) + 1 >=
-        expr(s"($tauScaled * (na + nb) + ${1000000L + tauScaled} - 1) DIV ${1000000L + tauScaled}"))
-      .select(col("doc_a"), col("doc_b"))
+      .filter((least(col("a.n") - col("a.r"), col("b.n") - col("b.r")) + 1) *
+        lit(1000000L + tauScaled) >= lit(tauScaled) * (col("a.n") + col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
-  /** Exact Jaccard for a candidate pair set over its (cached) shingle
-    * frame — the shared verify stage of both the prefix-filtered exact
-    * path and the banded-LSH path.
+  /** Per-doc gram SETS (doc_id, ghs: array<long>, n), cached — the verify
+    * stage's join side. One corpus-sized groupBy re-packs the exploded
+    * shingle frame into 1 row/doc; candidates then fetch both docs' sets
+    * with two slim hash joins instead of double-joining the exploded gram
+    * frame (which materialized a |cand| × grams/doc intermediate —
+    * ~276M rows at 500k docs — and re-shuffled it on (doc, gh)).
+    */
+  private def gramSets(g: DataFrame): DataFrame =
+    tracked(g.groupBy(col("doc_id"))
+      .agg(collect_list(col("gh")).as("ghs"), count(lit(1)).as("n")))
+
+  /** Exact Jaccard for a candidate pair set over the (cached) per-doc gram
+    * sets — the shared verify stage of both the prefix-filtered exact path
+    * and the banded-LSH path. Overlap = |array_intersect| per pair (gram
+    * sets are distinct by construction): the verify cost is two hash joins
+    * of the candidate list against the 1-row/doc set frame plus a narrow
+    * per-pair set intersection — linear in candidates, never in grams ×
+    * candidates (the previous exploded-join verify measured 58 s at 500k
+    * docs / 5.3M candidates; this shape runs it in seconds).
     */
   private def verifiedJaccard(g: DataFrame, cand: DataFrame): DataFrame = {
-    val cnt = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sets = gramSets(g)
     cand
-      .join(g.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(g.as("gb"), col("doc_b") === col("gb.doc_id") && col("ga.gh") === col("gb.gh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("s"))
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("ghs").as("ga"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ghs").as("gb"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("s"),
+        col("na"), col("nb"))
       .select(col("doc_a"), col("doc_b"),
         round(col("s").cast("double") /
-          (col("ca.n") + col("cb.n") - col("s")).cast("double"), 4).as("jaccard"))
+          (col("na") + col("nb") - col("s")).cast("double"), 4).as("jaccard"))
   }
 
   /** MinHash signature length / LSH banding: K = B*R. R=2 sets the
-    * per-band collision probability j²; B=48 over-bands the τ≈0.5 knee so
-    * recall holds even for pairs sitting EXACTLY at the threshold:
-    * P(miss | j) = (1-j²)^B is 10⁻⁶ at j=0.5 (B=16's 1% miss rate showed
-    * up as 191 missed pairs on the 10x near-dup corpus, whose mutation
-    * puts thousands of pairs right at the knee — the round-7 10x
-    * cross-check caught it). Cost: 3× band rows, but candidates stay
-    * verify-bounded — at j=0.1 only 1-(1-0.01)⁴⁸ ≈ 38% of the already-
-    * sparse j≈0.1 pairs ever reach the exact-Jaccard verify join.
+    * per-band collision probability j²; B over-bands the τ≈0.5 knee so
+    * recall holds even for pairs sitting essentially AT the threshold:
+    * P(miss | j) = (1-j²)^B. The B history is a scale lesson in itself —
+    * B=16's 1% knee miss rate showed up as 191 missed pairs at the 10x
+    * near-dup corpus (round 7); B=48 (P(miss|0.5)≈10⁻⁶) held at 10x but
+    * missed exactly ONE pair (J=0.5152, P(miss)≈4·10⁻⁷) among the 472,580
+    * true pairs of the 100x/500k-doc corpus (round 11) — per-pair miss
+    * probability must be sized against the COUNT of near-knee pairs, which
+    * grows linearly with the corpus. B=64 puts P(miss|0.5) at ~10⁻⁸
+    * (expected misses ≈ 0.005 per million knee pairs); at 10⁹+ docs you'd
+    * grow B again (or accept a stated recall SLO) — the knob and the math
+    * stay the same. Cost is linear in B and candidates stay verify-bounded.
     * (MinHash: Broder, "On the resemblance and containment of documents",
     * 1997; banding analysis as in Mining of Massive Datasets ch. 3.)
     */
   private val R = 2
-  private val B = 48
+  private val B = 64
   private val K = R * B
 
   /** MinHash signatures: per doc, K min-hashes over its HASHED shingles —
@@ -243,6 +287,10 @@ object Dedup {
     minhashSignaturesFrom(shingles(docs))
 
   private[graft] def testShingles(docs: DataFrame): DataFrame = shingles(docs)
+
+  private[graft] def testBandedCandidates(g: DataFrame): DataFrame = bandedCandidates(g)
+  private[graft] def testVerifiedJaccard(g: DataFrame, cand: DataFrame): DataFrame =
+    verifiedJaccard(g, cand)
 
   private[graft] def testSimhashFingerprints(spark: SparkSession, dir: String): DataFrame =
     simhashFingerprints(documents(spark, dir))
@@ -271,10 +319,24 @@ object Dedup {
       explode(array((0 until B).map(b => struct(lit(b).as("band"), bandKey(b).as("bk"))): _*))
         .as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bk"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // Bucket-local pair generation instead of a band self-join: ONE
+    // shuffle of the band rows into (band, bk) buckets, then each bucket
+    // of s docs emits its s(s−1)/2 ordered pairs from the sorted doc list
+    // — half the row volume of the self-join's s² probe output and one
+    // exchange instead of two (measured 26.7 s → self-join vs this shape
+    // at 500k docs / 24M band rows). Bucket sizes are near-dup-group
+    // sized (banding hashes 128 signature bits, so unrelated docs
+    // colliding is ~2⁻¹²⁸); a pathologically hot bucket would surface in
+    // the size histogram long before the pair explosion — the same
+    // monitoring contract as any LSH system.
+    val ds = sort_array(col("ds"))
+    bands
+      .groupBy(col("band"), col("bk")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(sequence(lit(1), size(ds) - 1), i =>
+        transform(slice(ds, i + 1, size(ds) - i), b =>
+          struct(element_at(ds, i).as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 

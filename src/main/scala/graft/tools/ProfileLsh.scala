@@ -23,6 +23,11 @@ object ProfileLsh {
     t("shingles count")(println("  grams=" + g.count()))
     val sigs = t("signatures")(Dedup.testSignatures(g))
     t("signatures count")(println("  sigs=" + sigs.count()))
+    val cand = Dedup.testBandedCandidates(g).cache()
+    t("bandedCandidates count")(println("  cand=" + cand.count()))
+    t("verify join count")(println("  verified=" +
+      Dedup.testVerifiedJaccard(g, cand).count()))
+    cand.unpersist()
     t("full minhashLsh")(println("  pairs=" + Dedup.minhashLsh(spark, dir).count()))
     t("full minhashLsh again")(println("  pairs=" + Dedup.minhashLsh(spark, dir).count()))
     t("pairwise_dups")(println("  dups=" + graft.operators.Similarity.pairwiseDups(spark, dir).count()))

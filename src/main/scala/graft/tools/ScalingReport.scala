@@ -55,8 +55,10 @@ object ScalingReport {
       // End-to-end wall times, warm second run reported.
       Seq(1, 2).foreach(_ => Dedup.minhashLsh(spark, dir).count())
       val (_, lshS) = time(Dedup.minhashLsh(spark, dir).count())
-      Seq(1, 2).foreach(_ => Dedup.ngramJaccard(spark, dir).count())
-      val (_, gramS) = time(Dedup.ngramJaccard(spark, dir).count())
+      // Sub-knee opt-in path timed explicitly (the operator default is
+      // the τ=0.5 prefix path since round 11).
+      Seq(1, 2).foreach(_ => Dedup.ngramJaccard(spark, dir, Dedup.MinTau).count())
+      val (_, gramS) = time(Dedup.ngramJaccard(spark, dir, Dedup.MinTau).count())
       println(f"$sf%-8s $nDocs%8d $nGrams%10d $lshCand%9d $ppCand%9d " +
         f"$ppCand05%7d $gramPairs%10d $lshS%7.2f $gramS%7.2f")
       Dedup.clearCaches()

@@ -95,12 +95,18 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("dedup_ngram_jaccard at the knee: prefix-filtered candidates, not the naive join") {
-    val plan = planOf(graft.operators.Dedup.ngramJaccard(spark, sfDir, tau = 0.5))
-    // The candidate join's inputs are rank-filtered prefixes: the prefix
-    // bound (r <= n - ceil(tau*n) + 1) must appear as a Filter above the
-    // rank window before any self-join.
-    assert(plan.contains("row_number"),
-      "global-order ranks must be computed for the prefix bound")
+    // Default-τ call: since round 11 the operator DEFAULT is the knee
+    // (τ=0.5, prefix-filtered) — the sub-knee near-quadratic listing is
+    // an explicit opt-in. This pin fails if the default regresses.
+    val plan = planOf(graft.operators.Dedup.ngramJaccard(spark, sfDir))
+    // The candidate join's inputs are prefix SLICES of the per-doc
+    // rarest-first gram arrays (round 11: the rank windows became one
+    // agg + slice — suffix grams never materialize), and the integer-math
+    // prefix bound must appear in the slice length.
+    assert(plan.contains("slice") && plan.contains("posexplode"),
+      s"prefix-slice generation missing from the plan:\n${plan.take(1500)}")
+    assert(!plan.contains("row_number") && !plan.contains("Window"),
+      "the prefix path must not pay rank windows over the gram frame")
     assert("(?is)999999.*div 1000000".r.findFirstIn(plan).isDefined,
       s"integer-math prefix bound missing from the plan:\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
@@ -109,9 +115,11 @@ class PlanAuditSpec extends SparkSpec {
   test("dedup_ngram_jaccard sub-knee: lean naive join — no rank windows, no df payload") {
     // Below the prune-effective knee the prefix machinery costs more than
     // it saves (10x corpus: 294.7 s + session OOM vs in-suite for the lean
-    // join) — the default-tau plan must be the slim (doc_id, gh) self-join:
-    // no window over the gram frame, no doc-frequency join feeding ranks.
-    val plan = planOf(graft.operators.Dedup.ngramJaccard(spark, sfDir))
+    // join) — the opt-in sub-knee plan must be the slim (doc_id, gh)
+    // self-join: no window over the gram frame, no doc-frequency join
+    // feeding ranks. (Sub-knee τ is an explicit opt-in since round 11;
+    // the operator DEFAULT is the knee, pinned by the previous test.)
+    val plan = planOf(graft.operators.Dedup.ngramJaccard(spark, sfDir, tau = graft.operators.Dedup.MinTau))
     assert(!plan.contains("row_number"),
       s"sub-knee tau must not pay the prefix-rank windows:\n${plan.take(1500)}")
     assert(!plan.contains("Window"),
