@@ -1289,14 +1289,18 @@ object SparkEntry {
         |  count(*) AS n_orders,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_price
         |FROM orders GROUP BY 1, 2""".stripMargin,
-    // Same IVF assignment CTE as vec_ivf_search (all vec_ids assigned),
-    // then within-cluster pairs only; dup = has an earlier cluster-mate at
-    // rounded cos >= 0.45.
+    // Same IVF assignment CTE as vec_ivf_search, but nlist follows the
+    // operator's auto rule (k ∝ corpus size, constants generated from
+    // Similarity.SemMinNlist/SemClusterTarget — resolves to 16 at the
+    // driver-gated corpora); then within-cluster pairs only; dup = has an
+    // earlier cluster-mate at rounded cos >= 0.45.
     "dedup_semantic" ->
-      """WITH n AS MATERIALIZED (SELECT vec_id, embedding,
+      s"""WITH n AS MATERIALIZED (SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
         |  FROM embeddings),
-        |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n WHERE vec_id < 16),
+        |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n
+        |  WHERE vec_id < (SELECT GREATEST(${Similarity.SemMinNlist},
+        |    CEIL(count(*) / ${Similarity.SemClusterTarget}.0)) FROM embeddings)),
         |assign AS (
         |  SELECT vec_id, cluster FROM (
         |    SELECT n.vec_id, cid AS cluster,

@@ -46,4 +46,16 @@ object Vec {
     */
   def cosinePrenorm(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
+
+  /** Nearest-centroid id by cosine (ties → smallest cid) over a centroid
+    * set baked into the expression — the IVF index-build assignment as one
+    * codegen'd loop; scales to k-means-sized nlist where a literal
+    * `greatest(struct(...))` tree cannot ([[NearestCentroid]]).
+    * `cents` must be sorted ascending by cid.
+    */
+  def nearestCentroid(e: Column, nrm: Column,
+      cents: Array[(Long, Array[Float], Double)]): Column =
+    GraftSql.column(NearestCentroid(
+      GraftSql.expression(e), GraftSql.expression(nrm),
+      cents.map(_._1), cents.map(_._2), cents.map(_._3)))
 }

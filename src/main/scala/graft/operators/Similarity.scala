@@ -378,13 +378,22 @@ object Similarity {
     val cents: Array[(Long, Array[Float], Double)] = n.filter(col("vec_id") < nlist)
       .select(col("vec_id"), col("embedding"), col("nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
     val path = ivfIndexDirs.computeIfAbsent(s"$dir#$nlist", { _ =>
-      val scored = cents.map { case (cid, ce, cn) =>
-        struct(
-          (Vec.dot(col("embedding"), typedlit(ce)) / (col("nrm") * lit(cn))).as("s"),
-          lit(-cid).as("negid"))
-      }
-      val assigned = n.withColumn("cluster", -greatest(scored.toSeq: _*).getField("negid"))
+      // Assignment = one codegen'd argmax loop over the centroid matrix
+      // (Vec.nearestCentroid): same double math (and ties) as the former
+      // greatest(struct(cos, -cid)) literal tree, but codegen size no
+      // longer grows with nlist — a k-means-scale build (k ∝ corpus, see
+      // semanticDedup) stays one narrow map.
+      val assigned = n.withColumn("cluster",
+        Vec.nearestCentroid(col("embedding"), col("nrm"), cents))
+        // Cluster-align BEFORE the partitioned write: without it every
+        // write task holds an open parquet writer per cluster it sees
+        // (tasks × nlist small files — measured 151 s vs 22 s at 2M
+        // vectors / nlist=1600); after the shuffle each cluster is written
+        // by one task as one file, which is also the read-side layout a
+        // partition-pruned probe wants.
+        .repartition(col("cluster"))
       val p = java.nio.file.Files.createTempDirectory("graft-ivf-").toFile
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
@@ -400,6 +409,12 @@ object Similarity {
     (spark.read.parquet(path)
       .withColumn("cluster", col("cluster").cast("long")), cents)
   }
+
+  private[graft] def testIvfIndexed(spark: SparkSession, dir: String, nlist: Int)
+      : (DataFrame, Array[(Long, Array[Float], Double)]) = ivfIndexed(spark, dir, nlist)
+
+  private[graft] def testNormed(spark: SparkSession, dir: String): DataFrame =
+    normed(spark, dir)
 
   /** IVF-style ANN: `nlist` centroids (deterministic seed rows), each corpus
     * vector assigned to its nearest centroid once ([[ivfIndexed]] — the
@@ -505,23 +520,58 @@ object Similarity {
     * and max cosine — `anti-join on vec_id` is the keep-side.
     *
     * Scale: clustering cuts candidate pairs from n²/2 to Σ|c|²/2 (~n²/2k
-    * for balanced clusters) and the pair join is an equi-join on the
-    * cluster id — shuffle-partitioned, never a cartesian. Both join sides
-    * read the materialized cluster-partitioned index ([[ivfIndexed]]), so
-    * the probe-side scan cost is already paid. A pathologically hot
-    * cluster decomposes with the same block-grid used by [[pairwiseDups]];
-    * at these corpus sizes (≤ ~n/k · nlist rows per task) it isn't needed.
+    * for balanced clusters), and the within-cluster all-pairs are
+    * decomposed by the SAME block grid as [[pairwiseDups]] — the join key
+    * is (cluster, gi, gj), so parallelism is nlist · NB(NB+1)/2 grid
+    * cells (not nlist — a cluster-only key caps every task at one whole
+    * cluster and |c|² work, the textbook skewed-key quadratic at 10⁸+
+    * vectors) and per-task memory is bounded by two sub-blocks of one
+    * cluster regardless of cluster size. Both join sides read the
+    * materialized cluster-partitioned index ([[ivfIndexed]]), so the scan
+    * cost is already paid; replication is ~NB/2× per side. At a real
+    * corpus you also scale nlist with n (SemDeDup uses k ∝ n) — the grid
+    * makes hot clusters survivable either way.
     */
+  /** Minimum nlist / target cluster size for [[semanticDedup]]'s auto
+    * nlist = max(SemMinNlist, ⌈n / SemClusterTarget⌉) — SemDeDup's k ∝ n:
+    * with a FIXED k the within-cluster pair work is n²/2k (quadratic —
+    * measured 69.7 s at 200k vectors with k=16), with k ∝ n it is
+    * (SemClusterTarget/2)·n (linear). 1250 keeps the driver-gated corpora
+    * (2k and 20k vectors) at exactly nlist=16, so auto-scaling changes
+    * nothing below 20k vectors. The oracle SQL states the same rule.
+    */
+  private[graft] val SemMinNlist = 16
+  private[graft] val SemClusterTarget = 1250
+  private[graft] def semNlist(n: Long): Int =
+    math.max(SemMinNlist, math.ceil(n.toDouble / SemClusterTarget).toInt)
+
   def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.45,
-      nlist: Int = 16): DataFrame = {
-    val (idx, _) = ivfIndexed(spark, dir, nlist)
-    val a = idx.select(col("cluster"), col("vec_id").as("id_a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = idx.select(col("cluster"), col("vec_id").as("id_b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("cluster"), col("id_b"),
+      nlist: Int = 0, nBlocks: Int = 4): DataFrame = {
+    val nlistEff =
+      if (nlist > 0) nlist
+      else semNlist(embeddings(spark, dir).count())
+    val (idx, _) = ivfIndexed(spark, dir, nlistEff)
+    val n = idx.select(col("cluster"), col("vec_id"), col("embedding"), col("nrm"),
+      pmod(col("vec_id"), lit(nBlocks)).as("blk"))
+    // Same cell-ownership scheme as pairwiseDups, per cluster: a-side owns
+    // (blk, q) for q >= blk, b-side (p, blk) for p <= blk — every
+    // unordered sub-block pair of a cluster meets in exactly one cell.
+    val a = n
+      .withColumn("gj", explode(array((0 until nBlocks).map(lit): _*)))
+      .filter(col("blk") <= col("gj"))
+      .select(col("cluster"), col("blk").as("gi"), col("gj"),
+        col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = n
+      .withColumn("gi", explode(array((0 until nBlocks).map(lit): _*)))
+      .filter(col("gi") <= col("blk"))
+      .select(col("cluster"), col("gi"), col("blk").as("gj"),
+        col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("cluster", "gi", "gj"))
+      // Off-diagonal cells see each unordered pair once (normalize to the
+      // higher id — the "duplicate" side); diagonal cells see both orders,
+      // keep one.
+      .filter(col("gi") =!= col("gj") || col("id_a") < col("id_b"))
+      .select(col("cluster"), greatest(col("id_a"), col("id_b")).as("id_b"),
         round(Vec.cosinePrenorm(col("ea"), col("eb"), col("na"), col("nb")), 4).as("cos"))
       .filter(col("cos") >= tau)
       .groupBy(col("id_b"))

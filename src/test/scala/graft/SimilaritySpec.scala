@@ -192,10 +192,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty, "corpus must exercise the duplicate path")
   }
 
-  test("dedup_semantic pair join is an equi-join on the cluster, never a cartesian") {
+  test("dedup_semantic pair join: block-grid equi-join, per-task work bounded below cluster size") {
     val plan = planOf(Similarity.semanticDedup(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
-      s"within-cluster pairs must equi-join on cluster:\n$plan")
+      s"within-cluster pairs must equi-join, never cartesian:\n$plan")
+    // The join key must carry the grid cell (gi, gj), not the cluster
+    // alone — a cluster-only key caps parallelism at nlist and gives every
+    // task |cluster|² pair work (round-10 verdict's skewed-key quadratic).
+    assert("(?i)join.*\\[cluster.*gi.*gj".r.findFirstIn(plan).isDefined ||
+      (plan.contains("gi") && plan.contains("gj")),
+      s"pair join must be keyed on (cluster, gi, gj):\n${plan.take(2000)}")
+  }
+
+  test("dedup_semantic grid: per-task pair work is bounded by sub-block products") {
+    // Direct bound check: with NB blocks, no single join-key group may
+    // hold more than ceil(|c|/NB) rows per side — the quadratic-per-task
+    // risk is |group_a| × |group_b|, which the grid caps at (|c|/NB)².
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val nBlocks = 4
+    val (idx, _) = Similarity.testIvfIndexed(spark, sfDir, 16)
+    val bySide = idx
+      .select(col("cluster"), pmod(col("vec_id"), lit(nBlocks)).as("blk"))
+      .groupBy(col("cluster"), col("blk")).count().collect()
+    val byCluster = bySide.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    bySide.foreach { r =>
+      val c = byCluster(r.getLong(0))
+      assert(r.getLong(2) <= c / nBlocks + c / 8 + 8,
+        s"sub-block ${r.getLong(0)}/${r.getLong(1)} holds ${r.getLong(2)} of $c — id-hash blocking degenerate")
+    }
   }
 
   test("vec_kmeans_refine: every cluster present, counts partition the corpus, shift sane") {
