@@ -359,6 +359,15 @@ object Similarity {
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Test seam for the durable-index root (env vars can't be set in-JVM);
+    * production reads `SPARK_GRAFT_IVF_DIR`.
+    */
+  private[graft] var ivfDirOverride: Option[String] = None
+  /** Test seam: forget session-memoized index paths (simulates a fresh
+    * session against the same durable index root).
+    */
+  private[graft] def resetIvfMemo(): Unit = ivfIndexDirs.clear()
+
   /** Build-once IVF index for `dir`: centroids = the deterministic vec_id <
     * nlist seed rows (collected once — an ANN index always materializes its
     * centroid metadata), corpus assigned to its nearest centroid by a
@@ -369,8 +378,20 @@ object Similarity {
     * serving corpus needs (Milvus keeps its IVF inverted lists exactly so;
     * on Spark the inverted list IS a partition directory). The write
     * happens once per (dir, nlist) per session; every search afterwards is
-    * probe-only. Assignment ties break to the smallest cid via greatest()
-    * of (cos, -cid) structs, matching the oracle's ORDER BY cos DESC, cid.
+    * probe-only. Assignment ties break to the smallest cid (strict-max
+    * loop over ascending cids), matching the oracle's ORDER BY cos DESC,
+    * cid.
+    *
+    * Index LIFECYCLE: by default the index lives in a session-scoped temp
+    * dir (a local[*] convenience — scratch derived state, rebuilt per
+    * session, removed by a shutdown hook). Set `SPARK_GRAFT_IVF_DIR` to a
+    * durable location and the index lands there keyed by (corpus dir,
+    * nlist); a later session REUSES it without rebuilding — on a real
+    * cluster that directory belongs in the lake next to the corpus, like
+    * any ANN index. Rebuild-on-corpus-change is the caller's contract
+    * (same as Milvus index lifecycle): the key encodes the corpus PATH,
+    * not its contents, so replacing the corpus in place requires clearing
+    * the index dir.
     */
   private def ivfIndexed(spark: SparkSession, dir: String, nlist: Int)
       : (DataFrame, Array[(Long, Array[Float], Double)]) = {
@@ -380,29 +401,42 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
     val path = ivfIndexDirs.computeIfAbsent(s"$dir#$nlist", { _ =>
-      // Assignment = one codegen'd argmax loop over the centroid matrix
-      // (Vec.nearestCentroid): same double math (and ties) as the former
-      // greatest(struct(cos, -cid)) literal tree, but codegen size no
-      // longer grows with nlist — a k-means-scale build (k ∝ corpus, see
-      // semanticDedup) stays one narrow map.
-      val assigned = n.withColumn("cluster",
-        Vec.nearestCentroid(col("embedding"), col("nrm"), cents))
-        // Cluster-align BEFORE the partitioned write: without it every
-        // write task holds an open parquet writer per cluster it sees
-        // (tasks × nlist small files — measured 151 s vs 22 s at 2M
-        // vectors / nlist=1600); after the shuffle each cluster is written
-        // by one task as one file, which is also the read-side layout a
-        // partition-pruned probe wants.
-        .repartition(col("cluster"))
-      val p = java.nio.file.Files.createTempDirectory("graft-ivf-").toFile
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(p)
-      }))
-      assigned.write.partitionBy("cluster").mode("overwrite").parquet(p.getPath)
-      p.getPath
+      val durable = ivfDirOverride.orElse(sys.env.get("SPARK_GRAFT_IVF_DIR")).map { root =>
+        // Key by corpus path (sanitized) + nlist, so one root dir serves
+        // many corpora and index configurations side by side.
+        new java.io.File(root, s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}#$nlist")
+      }
+      durable match {
+        case Some(d) if new java.io.File(d, "_SUCCESS").isFile =>
+          d.getPath // pre-built by an earlier session — reuse, no rebuild
+        case maybeDir =>
+          // Assignment = one codegen'd argmax loop over the centroid
+          // matrix (Vec.nearestCentroid): same double math (and ties) as
+          // a greatest(struct(cos, -cid)) literal tree, but codegen size
+          // no longer grows with nlist — a k-means-scale build (k ∝
+          // corpus, see semanticDedup) stays one narrow map.
+          val assigned = n.withColumn("cluster",
+            Vec.nearestCentroid(col("embedding"), col("nrm"), cents))
+            // Cluster-align BEFORE the partitioned write: without it every
+            // write task holds an open parquet writer per cluster it sees
+            // (tasks × nlist small files — measured 151 s vs 22 s at 2M
+            // vectors / nlist=1600); after the shuffle each cluster is
+            // written by one task as one file, which is also the
+            // read-side layout a partition-pruned probe wants.
+            .repartition(col("cluster"))
+          val p = maybeDir.getOrElse {
+            val t = java.nio.file.Files.createTempDirectory("graft-ivf-").toFile
+            Runtime.getRuntime.addShutdownHook(new Thread(() => {
+              def rm(f: java.io.File): Unit = {
+                Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+              }
+              rm(t)
+            }))
+            t
+          }
+          assigned.write.partitionBy("cluster").mode("overwrite").parquet(p.getPath)
+          p.getPath
+      }
     })
     // Partition-column values read back as the inferred integer type; cast
     // to the long the un-indexed plan produced so output schemas agree.

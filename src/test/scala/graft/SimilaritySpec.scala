@@ -222,6 +222,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf index: a durable SPARK_GRAFT_IVF_DIR is reused by a later session, not rebuilt") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("ivf-reuse-").toFile
+    try {
+      Similarity.ivfDirOverride = Some(root.getPath)
+      Similarity.resetIvfMemo()
+      val (idx1, _) = Similarity.testIvfIndexed(spark, sfDir, 16)
+      val n1 = idx1.count()
+      val sub = root.listFiles().find(_.getName.endsWith("#16"))
+        .getOrElse(fail("durable index subdir missing"))
+      assert(new java.io.File(sub, "_SUCCESS").isFile, "build must leave a _SUCCESS marker")
+      val stamps = sub.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      // Fresh "session": memo cleared, same durable root — must reuse.
+      Similarity.resetIvfMemo()
+      val (idx2, _) = Similarity.testIvfIndexed(spark, sfDir, 16)
+      assert(idx2.count() == n1)
+      val after = sub.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      assert(after == stamps, s"reused index must not be rewritten:\n$stamps\nvs\n$after")
+    } finally {
+      Similarity.ivfDirOverride = None
+      Similarity.resetIvfMemo()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root)
+    }
+  }
+
   test("vec_kmeans_refine: every cluster present, counts partition the corpus, shift sane") {
     val rows = Similarity.kmeansRefine(spark, sfDir).collect()
     assert(rows.length == 16, "each seed centroid self-assigns, so no cluster is empty")
