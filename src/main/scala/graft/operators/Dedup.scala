@@ -384,9 +384,10 @@ object Dedup {
     * candidates stay ~linear, and the verify step inside [[minhashLsh]]
     * re-checks exact Jaccard ≥ τ, so the edge set equals the exact τ-pair
     * set whenever banding recall is 1 (tools/CheckLshRecall measures
-    * missed=0, extra=0 at sf0.001/0.01/0.1 AND the knee-heavy 10x corpus
-    * for τ=0.5; at B=48/R=2 a missed pair needs all 48 bands to split a
-    * j ≥ 0.5 pair — P ≈ (1−j²)⁴⁸ ≤ 10⁻⁶).
+    * missed=0, extra=0 at sf0.001/0.01/0.1 AND the knee-heavy 500k-doc
+    * corpus for τ=0.5; at B=64/R=2 a missed pair needs all 64 bands to
+    * split a j ≥ 0.5 pair — P ≈ (1−j²)⁶⁴ ≈ 10⁻⁸, sized against the
+    * knee-pair count, see the [[B]] scaladoc).
     * Below the knee banding recall collapses, so low-τ requests route to
     * the exact gram join instead (see the inline note). The recursive-CTE
     * oracle stays the exact transitive closure either way. PlanAuditSpec
@@ -395,8 +396,8 @@ object Dedup {
     */
   private[graft] def clusterEdges(spark: SparkSession, dir: String,
       tau: Double): DataFrame =
-    // The R=2/B=48 banding targets the τ≈0.5 knee; below it the candidate
-    // probability collapses (P = 1-(1-j²)^B ≈ 0.15 at j=0.1) and banding
+    // The R=2 banding targets the τ≈0.5 knee; below it the candidate
+    // probability collapses (P = 1-(1-j²)^B ≈ 0.2 at j=0.1, B=64) and banding
     // would silently drop true edges — but a sub-knee τ also means a
     // near-quadratic OUTPUT, where the exact gram join is the correct
     // tool, so route low-τ requests there instead of guessing.

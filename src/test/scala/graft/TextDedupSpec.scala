@@ -188,7 +188,7 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("dedup_clusters routes sub-knee tau to the exact edge path (recall safety)") {
-    // Below the R=2/B=48 banding knee (tau < 0.5) LSH candidate recall
+    // Below the R=2 banding knee (tau < 0.5) LSH candidate recall
     // collapses, so clusterEdges must fall back to the exact gram join —
     // every exact tau=0.1 pair still co-clusters.
     val exact = Dedup.ngramJaccard(spark, sfDir, tau = 0.1).collect()
