@@ -480,11 +480,14 @@ object Dedup {
   private[graft] def simhashBitConst(i: Int): Long =
     ((2654435761L * (i + 1)) % SimhashMod) | 1L
 
-  /** Token-3-gram hashes for SimHash: per-token 5-char+length polynomial
-    * hash (pad '#' so every position exists), grams combine three token
-    * hashes — all mod 2²⁵ so products stay in signed-64 in both engines.
+  /** Per-doc DISTINCT token-3-gram hash ARRAYS for SimHash: per-token
+    * 5-char+length polynomial hash (pad '#' so every position exists),
+    * grams combine three token hashes — all mod 2²⁵ so products stay in
+    * signed-64 in both engines. Kept as one array row per doc (no
+    * explode): the fingerprint consumes the whole set in one compiled
+    * pass, so gram INSTANCES never become rows.
     */
-  private def simhashGrams(docs: DataFrame): DataFrame = {
+  private def simhashGramSets(docs: DataFrame): DataFrame = {
     val tokHash = (c: Column) => {
       val p = concat(c, lit("#####"))
       pmod(ascii(substring(p, 1, 1)) * lit(923521L) +
@@ -498,30 +501,37 @@ object Dedup {
       .otherwise(transform(sequence(lit(1), size(th) - 2),
         i => pmod(element_at(th, i) * 4821 + element_at(th, i + 1) * 129 +
           element_at(th, i + 2), lit(SimhashMod))))
+    // tracked(): a HARD materialization barrier below any downstream
+    // filter. PushDownPredicate substitutes aliases unconditionally, and a
+    // predicate pushed into these projections inlines `th` into every
+    // element_at of the gram lambda — re-tokenizing the document once per
+    // gram ELEMENT ACCESS, O(tokens²) in interpreted string ops (measured:
+    // turned the 500k-doc fingerprint map from seconds into 400+ s).
+    // The cache also plays the old exploded-gram cache's role with 1 row
+    // per doc instead of 1 per gram instance.
     tracked(graft.Tables.spread(docs)
       .select(col("doc_id"), transform(toks(col("text")), tokHash).as("th"))
-      .select(col("doc_id"), explode(array_distinct(grams)).as("g")))
+      .select(col("doc_id"), array_distinct(grams).as("gs")))
   }
 
   /** 62-bit SimHash per doc (Charikar, "Similarity estimation techniques
     * from rounding algorithms", STOC 2002): bit i of gram g is the top bit
-    * of (g·C_i mod 2²⁵); per-bit ones-counts summed in 62
-    * partial-aggregating columns (map-side combine, no row blowup),
-    * fingerprint bit i set iff ones_i > n/2 (⟺ the ±1 vote sum is
-    * positive).
+    * of (g·C_i mod 2²⁵), fingerprint bit i set iff ones_i > n/2 (⟺ the ±1
+    * vote sum is positive) — computed per doc in ONE compiled pass over
+    * its gram set ([[graft.functions.SimhashFingerprint]]): the
+    * fingerprint stage is a narrow map with no exchange (the former
+    * explode + 63-buffer hash aggregation shuffled every gram instance;
+    * at 500k docs that was 26M rows through a 63-column aggregate).
+    * Docs with no grams (< 3 tokens) are excluded, matching the oracle's
+    * gram-join semantics.
     */
-  private[operators] def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val ones = (i: Int) =>
-      count(when(pmod(col("g") * simhashBitConst(i), lit(SimhashMod)) >= SimhashHalf,
-        lit(1))).as(s"o$i")
-    val votes = simhashGrams(docs)
-      .groupBy(col("doc_id"))
-      .agg(ones(0), (1 until SimhashBits).map(ones) :+ count(lit(1)).as("n"): _*)
-    val fp = (0 until SimhashBits)
-      .map(i => when(col(s"o$i") * 2 > col("n"), shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    votes.select(col("doc_id"), fp.as("simhash"))
-  }
+  private[operators] def simhashFingerprints(docs: DataFrame): DataFrame =
+    simhashGramSets(docs)
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), org.apache.spark.sql.GraftSql.column(
+        graft.functions.SimhashFingerprint(
+          org.apache.spark.sql.GraftSql.expression(col("gs")),
+          SimhashBits, SimhashMod)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ k. Pigeonhole banding:
     * 4 chunks of ~16 bits — Hamming ≤ 3 ⇒ at least one chunk identical, so
@@ -531,7 +541,14 @@ object Dedup {
     * [[simhashBitConst]]).
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val fps = simhashFingerprints(documents(spark, dir))
+    // tracked(): materialization barrier — the fingerprint map feeds the
+    // 4-chunk explode AND both sides of the bucket self-join; without the
+    // barrier CollapseProject inlines the whole tokenize→gram→fingerprint
+    // chain into the Generate and the join inputs, re-running it per
+    // emitted chunk row per side. (The former aggregate formulation was
+    // an implicit barrier; the narrow-map fingerprint needs an explicit
+    // one — same lesson as Text.contamination's tracked(wf).)
+    val fps = tracked(simhashFingerprints(documents(spark, dir)))
     val chunks = fps.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
