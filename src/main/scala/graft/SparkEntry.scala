@@ -98,6 +98,8 @@ object SparkEntry {
     "text_repetition" -> (Text.repetition _),
     "q_stratified_sample" -> (Relational.qStratifiedSample _),
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "pipeline_pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
+    "text_rarity_score" -> (Text.rarityScore _),
     "vec_kmeans_refine" -> ((s, d) => Similarity.kmeansRefine(s, d)),
     "vec_scalar_quantize" -> (Similarity.scalarQuantize _),
   )
@@ -1317,6 +1319,34 @@ object SparkEntry {
         |  JOIN n n1 ON n1.vec_id = a1.vec_id JOIN n n2 ON n2.vec_id = a2.vec_id)
         |SELECT vec_id, cluster, count(*) AS n_earlier, max(cos) AS max_cos
         |FROM pr WHERE cos >= 0.45 GROUP BY 1, 2""".stripMargin,
+    // Concat-then-chunk packing: exclusive per-shard prefix token sum in
+    // doc_id order, bin = cum DIV window; per-(shard, bin) stats.
+    "pipeline_pack_sequences" ->
+      """WITH tc AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS tc
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, tc,
+        |    CAST(COALESCE(sum(tc) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM tc)
+        |SELECT source, cum // 512 AS bin, count(*) AS n_docs,
+        |  CAST(sum(tc) AS BIGINT) AS tokens_in,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // Integer rarity = N // cnt per token over corpus unigram counts; per
+    // doc the position count, rarity sum, and one final double division.
+    "text_rarity_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT doc_id, count(*) AS n_toks, CAST(sum(n // cnt) AS BIGINT) AS rarity_sum,
+        |  round(CAST(sum(n // cnt) AS DOUBLE) / count(*), 4) AS mean_rarity
+        |FROM tok JOIN freq USING (tok), tot
+        |GROUP BY doc_id""".stripMargin,
     // Same assignment, then one Lloyd step: per-(cluster, dim) mean and
     // the cosine between seed centroid and refined mean.
     "vec_kmeans_refine" ->

@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   * runs on the replicated lake before training.
   */
 object Pipeline {
+  import graft.Tables.documents
 
   /** Canonical, quality- and language-gated corpus view: one row per
     * surviving doc with its gate evidence (lang guess, score, tokens).
@@ -38,5 +39,38 @@ object Pipeline {
       .filter(col("score") >= minScore && col("guess") =!= "und")
       .select(col("doc_id"), col("guess").as("lang_guess"),
         col("score"), col("n_tokens"))
+  }
+
+  /** Sequence-packing audit — the data-loading step of LM training:
+    * documents are concatenated shard by shard in deterministic doc_id
+    * order and chunked into fixed context windows of `window` tokens
+    * ("concat-then-chunk", the packing used by GPT-style pipelines); a doc
+    * belongs to the bin its first token lands in (bin = exclusive prefix
+    * token sum DIV window). Emits per (source shard, bin): docs starting
+    * there, their token mass, and the doc_id range — the audit a packing
+    * job publishes so training can address any window (source, bin)
+    * without re-scanning text.
+    *
+    * Scale: packing is inherently a per-shard SEQUENTIAL prefix sum — the
+    * parallel unit is the shard, exactly how distributed packing jobs
+    * shard their input, so the window is PARTITIONED by source (spec-
+    * pinned: never an unpartitioned global-order window, which would
+    * serialize the corpus through one task). Token counting is a narrow
+    * map; everything after the per-shard cumsum is one grouped agg with
+    * map-side partials. At 100 TB `source` is the file/shard key and each
+    * shard's prefix sum is task-local.
+    */
+  def packSequences(spark: SparkSession, dir: String, window: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(Text.toks(col("text"))).cast("long").as("tc"))
+      .withColumn("cum", coalesce(sum(col("tc")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum DIV $window"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("tokens_in"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
   }
 }

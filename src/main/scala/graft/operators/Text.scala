@@ -229,6 +229,38 @@ object Text {
       .limit(topN)
   }
 
+  /** Corpus-relative lexical rarity — the unigram-LM quality proxy
+    * (CCNet-style pipelines score documents under a language model and
+    * drop the tails; with no float log-probs available to restate exactly
+    * across engines, the rarity statistic keeps the whole computation in
+    * EXACT integer math): rarity(tok) = N DIV count(tok) over the corpus
+    * unigram counts (≈ 1/p(tok), the unnormalized inverse frequency), per
+    * doc the sum and mean over its token positions. High mean = rare
+    * vocabulary (jargon/noise tail), low mean = common-token text — the
+    * same ranking a unigram log-prob filter produces, with a
+    * deterministic, SQL-restatable definition (one double division at the
+    * very end, order-independent).
+    *
+    * Scale: unigram counts are one exploded groupBy with map-side
+    * partials (vocab-sized output); the corpus total is a 1-row agg
+    * (broadcast literal join); the score join shuffles token rows once on
+    * the token and once on doc_id — all linear, no windows, no driver
+    * loops.
+    */
+  def rarityScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.Tables.spread(documents(spark, dir))
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = tok.agg(count(lit(1)).as("n"))
+    tok.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(expr("n DIV cnt")).as("rarity_sum"))
+      .select(col("doc_id"), col("n_toks"), col("rarity_sum"),
+        round(col("rarity_sum").cast("double") / col("n_toks").cast("double"), 4)
+          .as("mean_rarity"))
+  }
+
   /** Per-doc repetition filters (Gopher-style; Rae et al. 2021 §A1.1):
     * fraction of token positions held by the most frequent token
     * (`top_word_frac`), fraction of 2-gram positions held by the most

@@ -12,7 +12,7 @@ class ContractSpec extends SparkSpec {
   }
 
   test("the operator inventory is complete and every op carries an oracle") {
-    assert(SparkEntry.queries.size >= 88)
+    assert(SparkEntry.queries.size >= 90)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // Round 5 closed the last rows-only entries: the sketches assert their
     // error bound as an oracle-checkable verdict, and dedup_simhash's hash

@@ -297,4 +297,58 @@ class TextDedupSpec extends SparkSpec {
       assert(got._2 > 0.0 && got._2 <= 1.0 && got._3 <= 1.0 && got._4 < 1.0)
     }
   }
+
+  test("pipeline_pack_sequences equals a sequential per-shard packing replay") {
+    val window = 512
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "source", "size(split(trim(lower(text)), '\\\\s+')) as tc")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).toSeq.map { case (id, _, tc) =>
+        val bin = cum / window; cum += tc; (src, bin, id, tc)
+      }
+    }.groupBy(t => (t._1, t._2)).map { case ((src, bin), g) =>
+      (src, bin) -> ((g.size.toLong, g.map(_._4).sum, g.map(_._3).min, g.map(_._3).max))
+    }
+    val got = graft.operators.Pipeline.packSequences(spark, sfDir, window).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, "packing audit must equal the sequential replay")
+    assert(got.size > spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source").distinct().count(),
+      "window must be small enough that shards span multiple bins")
+  }
+
+  test("pipeline_pack_sequences window is shard-partitioned, never a global-order window") {
+    val plan = graft.operators.Pipeline.packSequences(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "packing needs the per-shard prefix sum window")
+    assert("(?i)windowspecdefinition\\(source".r.findFirstIn(plan.toLowerCase).isDefined ||
+      plan.contains("PartitionBy: [source") || "partitionBy.*source".r.findFirstIn(plan).isDefined ||
+      plan.contains("Window [sum(tc"),
+      s"window must partition by the shard key:\n${plan.take(1200)}")
+    assert(!plan.contains("SinglePartition"),
+      s"an unpartitioned global-order window serializes the corpus:\n${plan.take(1200)}")
+  }
+
+  test("text_rarity_score equals an integer-math replay and ranks rare vocabulary higher") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "split(trim(lower(text)), '\\\\s+') as t").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val freq = texts.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = texts.map(_._2.size.toLong).sum
+    val expected = texts.map { case (id, ts) =>
+      val rs = ts.map(t => n / freq(t)).sum
+      id -> ((ts.size.toLong, rs,
+        BigDecimal(rs.toDouble / ts.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = Text.rarityScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (nt, rs, mean)) =>
+      assert((nt, rs) == (expected(id)._1, expected(id)._2), s"doc $id integer stats diverge")
+      assert(math.abs(mean - expected(id)._3) < 1e-9, s"doc $id mean diverges")
+    }
+  }
 }
