@@ -1284,13 +1284,19 @@ object SparkEntry {
         |FROM s GROUP BY doc_id""".stripMargin,
     // Knuth multiplicative hash, exact in BIGINT on both engines.
     "q_stratified_sample" ->
-      """SELECT o_orderstatus,
-        |  CASE WHEN (CAST(o_orderkey AS DECIMAL(19,0)) * 2654435761) % 4294967296 % 1000 < 800 THEN 'train'
-        |       WHEN (CAST(o_orderkey AS DECIMAL(19,0)) * 2654435761) % 4294967296 % 1000 < 900 THEN 'val'
+      """WITH b AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    ((o_orderkey % 4294967296) * 31153
+        |     + ((o_orderkey % 4294967296) * 40503) % 65536 * 65536)
+        |      % 4294967296 % 1000 AS bucket
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  CASE WHEN bucket < 800 THEN 'train'
+        |       WHEN bucket < 900 THEN 'val'
         |       ELSE 'test' END AS split,
         |  count(*) AS n_orders,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_price
-        |FROM orders GROUP BY 1, 2""".stripMargin,
+        |FROM b GROUP BY 1, 2""".stripMargin,
     // Same IVF assignment CTE as vec_ivf_search, but nlist follows the
     // operator's auto rule (k ∝ corpus size, constants generated from
     // Similarity.SemMinNlist/SemClusterTarget — resolves to 16 at the

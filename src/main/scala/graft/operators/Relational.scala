@@ -226,11 +226,16 @@ object Relational {
   /** Deterministic stratified train/val/test split — the dataset-sharding
     * primitive a training pipeline needs: every row lands in the same split
     * on every run and every engine, with NO stored split column, via a
-    * Knuth multiplicative hash of the key (`(key × 2654435761) mod 2³²`,
-    * computed in DECIMAL(30,0) so the product is EXACT for any int64 key —
-    * the earlier int64 formulation silently wrapped for keys ≳ 3.5·10⁹ in
-    * non-ANSI Spark while the oracle errored, diverging the split) bucketed
-    * to 0..999 → train <800 / val <900 / test. The returned audit proves the
+    * Knuth multiplicative hash of the key (`(key × 2654435761) mod 2³²`)
+    * bucketed to 0..999 → train <800 / val <900 / test.
+    *
+    * The product is computed EXACTLY in int64 by splitting the multiplier
+    * at 16 bits: with lo = key mod 2³², C = c1·2¹⁶ + c0,
+    * (key·C) mod 2³² = (lo·c0 + (lo·c1 mod 2¹⁶)·2¹⁶) mod 2³² and every
+    * intermediate stays < 2⁴⁸ — no wrap for ANY int64 key (the naive
+    * product silently wrapped for keys ≳ 3.5·10⁹ in non-ANSI Spark while
+    * the oracle errored, diverging the split; a DECIMAL formulation is
+    * exact too but costs ~2× scan time). The returned audit proves the
     * split: per (o_orderstatus, split) row counts and exact DECIMAL money
     * sums, so strata proportions are visible per class.
     *
@@ -242,10 +247,11 @@ object Relational {
     * pushdown-able.
     */
   def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    // decimal(19,0) × decimal(10,0) → decimal(30,0): exact (no precision
-    // loss, no wrap) for the full int64 key domain on both engines.
-    val bucket = pmod(col("o_orderkey").cast("decimal(19,0)") *
-        lit(BigDecimal(2654435761L)), lit(BigDecimal(4294967296L)))
+    // 2654435761 = 40503·2¹⁶ + 31153; see the scaladoc for the exactness
+    // argument (every intermediate < 2⁴⁸ — pure int64, no wrap).
+    val lo = pmod(col("o_orderkey"), lit(4294967296L))
+    val bucket = pmod(lo * lit(31153L) + pmod(lo * lit(40503L), lit(65536L)) * lit(65536L),
+        lit(4294967296L))
       .mod(lit(1000L))
     val split = when(bucket < 800, lit("train"))
       .when(bucket < 900, lit("val")).otherwise(lit("test"))
