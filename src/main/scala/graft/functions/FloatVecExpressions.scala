@@ -134,4 +134,168 @@ object NearestCentroid {
     }
     bid
   }
+
+  /** Two-level (coarse-quantizer) assignment — the IMI/IVF-build shape for
+    * k-means-scale nlist: score the ~√k coarse cell means first, then argmax
+    * only over the centroids belonging to the `probe` best cells. Cost per
+    * vector drops from O(k·d) to O((√k + probe·k/√k)·d); with k ∝ n (see
+    * Similarity.semNlist) that turns the whole index build from O(n²·d/C)
+    * back to O(n^1.5·d/C). Ties break to the smallest cid regardless of
+    * cell iteration order (`s == best && cid < bid`), so the result is a
+    * pure function of the inputs, not of probe ordering.
+    */
+  def assignCoarse(e: ArrayData, nrm: Double,
+      cmeans: Array[Array[Float]], cmnorms: Array[Double],
+      members: Array[Array[Int]], probe: Int,
+      cids: Array[Long], cents: Array[Array[Float]], cnorms: Array[Double]): Long = {
+    val nc = cmeans.length
+    val w = math.min(probe, nc)
+    // Partial selection of the top-w coarse cells by cosine: insertion into
+    // two w-sized arrays (w is single digits; no heap needed).
+    val topS = new Array[Double](w)
+    val topI = new Array[Int](w)
+    java.util.Arrays.fill(topS, Double.NegativeInfinity)
+    java.util.Arrays.fill(topI, -1)
+    var j = 0
+    while (j < nc) {
+      val c = cmeans(j)
+      val m = math.min(e.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) { acc += e.getFloat(i).toDouble * c(i).toDouble; i += 1 }
+      val s = acc / (nrm * cmnorms(j))
+      if (s > topS(w - 1)) {
+        var p = w - 1
+        while (p > 0 && topS(p - 1) < s) {
+          topS(p) = topS(p - 1); topI(p) = topI(p - 1); p -= 1
+        }
+        topS(p) = s; topI(p) = j
+      }
+      j += 1
+    }
+    var best = Double.NegativeInfinity
+    var bid = Long.MaxValue
+    var t = 0
+    while (t < w) {
+      val cell = topI(t)
+      if (cell >= 0) {
+        val mem = members(cell)
+        var u = 0
+        while (u < mem.length) {
+          val k = mem(u)
+          val c = cents(k)
+          val m = math.min(e.numElements(), c.length)
+          var acc = 0.0
+          var i = 0
+          while (i < m) { acc += e.getFloat(i).toDouble * c(i).toDouble; i += 1 }
+          val s = acc / (nrm * cnorms(k))
+          if (s > best || (s == best && cids(k) < bid)) { best = s; bid = cids(k) }
+          u += 1
+        }
+      }
+      t += 1
+    }
+    bid
+  }
+
+  /** Driver-side grouping of the k centroids into `nCells` coarse cells:
+    * deterministic Lloyd over the centroid matrix (init = evenly-strided
+    * centroids, fixed iteration count, strict-> ties to the lowest cell, an
+    * emptied cell keeps its previous mean). k is index-metadata-sized
+    * (≤ tens of thousands), so this is microseconds-to-milliseconds of
+    * driver math — the same place the centroid collect already happens.
+    * Returns (cell means, cell mean norms, member centroid indices).
+    */
+  def coarseCells(cents: Array[Array[Float]], cnorms: Array[Double],
+      nCells: Int, iters: Int = 8)
+      : (Array[Array[Float]], Array[Double], Array[Array[Int]]) = {
+    val k = cents.length
+    val nc = math.min(nCells, k)
+    val d = cents(0).length
+    val stride = math.max(1, k / nc)
+    var means: Array[Array[Double]] =
+      Array.tabulate(nc)(j => cents(math.min(j * stride, k - 1)).map(_.toDouble))
+    var mnorms: Array[Double] = means.map(m => math.sqrt(m.map(x => x * x).sum))
+    var assign = new Array[Int](k)
+    var it = 0
+    while (it < iters) {
+      var ki = 0
+      while (ki < k) {
+        var best = Double.NegativeInfinity
+        var bj = 0
+        var j = 0
+        while (j < nc) {
+          var acc = 0.0
+          var i = 0
+          val mm = means(j)
+          while (i < d) { acc += cents(ki)(i).toDouble * mm(i); i += 1 }
+          val s = acc / (cnorms(ki) * mnorms(j))
+          if (s > best) { best = s; bj = j }
+          j += 1
+        }
+        assign(ki) = bj
+        ki += 1
+      }
+      val sums = Array.fill(nc)(new Array[Double](d))
+      val cnt = new Array[Int](nc)
+      ki = 0
+      while (ki < k) {
+        val j = assign(ki)
+        var i = 0
+        while (i < d) { sums(j)(i) += cents(ki)(i).toDouble; i += 1 }
+        cnt(j) += 1
+        ki += 1
+      }
+      means = Array.tabulate(nc)(j =>
+        if (cnt(j) == 0) means(j) else sums(j).map(_ / cnt(j)))
+      mnorms = means.map(m => math.sqrt(m.map(x => x * x).sum))
+      it += 1
+    }
+    val members = Array.tabulate(nc)(j =>
+      (0 until k).filter(assign(_) == j).toArray)
+    (means.map(_.map(_.toFloat)), mnorms, members)
+  }
+}
+
+/** [[NearestCentroid]]'s two-level sibling for k-means-scale nlist: the
+  * coarse cell means, memberships and the full centroid matrix ride along
+  * as reference objects; per row the assignment is
+  * [[NearestCentroid.assignCoarse]] — O((√k + probe·√k)·d) instead of
+  * O(k·d). Used by the IVF index build above `Similarity.CoarseMinNlist`
+  * centroids; below that the exact single-level argmax runs, so every
+  * oracle-gated corpus keeps byte-identical assignments.
+  */
+case class NearestCentroidCoarse(left: Expression, right: Expression,
+    cmeans: Array[Array[Float]], cmnorms: Array[Double],
+    members: Array[Array[Int]], probe: Int,
+    cids: Array[Long], cents: Array[Array[Float]], cnorms: Array[Double])
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"NearestCentroidCoarse needs (array<float>, double), got $l / $r")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NearestCentroid.assignCoarse(a.asInstanceOf[ArrayData], b.asInstanceOf[Double],
+      cmeans, cmnorms, members, probe, cids, cents, cnorms)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cmRef = ctx.addReferenceObj("cmeans", cmeans, "float[][]")
+    val cmnRef = ctx.addReferenceObj("cmnorms", cmnorms, "double[]")
+    val memRef = ctx.addReferenceObj("members", members, "int[][]")
+    val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    val cnRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NearestCentroid.assignCoarse($a, $b, " +
+        s"$cmRef, $cmnRef, $memRef, $probe, $cidsRef, $centsRef, $cnRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

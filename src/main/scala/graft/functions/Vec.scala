@@ -58,4 +58,21 @@ object Vec {
     GraftSql.column(NearestCentroid(
       GraftSql.expression(e), GraftSql.expression(nrm),
       cents.map(_._1), cents.map(_._2), cents.map(_._3)))
+
+  /** Two-level nearest-centroid: coarse cells built once on the driver
+    * ([[NearestCentroid.coarseCells]]), per-row assignment probes only the
+    * `probe` best cells' centroid subsets ([[NearestCentroidCoarse]]) —
+    * the O(n·√k·d) IVF-build assignment for k-means-scale nlist.
+    * `cents` must be sorted ascending by cid.
+    */
+  def nearestCentroidCoarse(e: Column, nrm: Column,
+      cents: Array[(Long, Array[Float], Double)],
+      nCells: Int, probe: Int): Column = {
+    val (cmeans, cmnorms, members) =
+      NearestCentroid.coarseCells(cents.map(_._2), cents.map(_._3), nCells)
+    GraftSql.column(NearestCentroidCoarse(
+      GraftSql.expression(e), GraftSql.expression(nrm),
+      cmeans, cmnorms, members, probe,
+      cents.map(_._1), cents.map(_._2), cents.map(_._3)))
+  }
 }

@@ -359,10 +359,36 @@ object Similarity {
   private val ivfIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Session-memoized corpus row counts, so nlist auto-sizing
+    * ([[semanticDedup]]) costs ONE count scan per corpus dir per session,
+    * not one per invocation. An immutable-corpus assumption identical to
+    * the index lifecycle's (the key is the path).
+    */
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusCount(spark: SparkSession, dir: String): Long =
+    corpusCounts.computeIfAbsent(dir, _ => embeddings(spark, dir).count())
+
   /** Test seam for the durable-index root (env vars can't be set in-JVM);
     * production reads `SPARK_GRAFT_IVF_DIR`.
     */
   private[graft] var ivfDirOverride: Option[String] = None
+
+  /** nlist at or above which the index-build assignment switches from the
+    * exact single-level argmax to the two-level coarse quantizer. 64 keeps
+    * every driver-gated corpus (nlist ≤ 16) on the exact path; a spec seam
+    * (var) lets tests force the two-level path at small nlist to measure
+    * agreement.
+    */
+  private[graft] var CoarseMinNlist: Int = 64
+  /** Coarse cells probed per vector: 4 at small cell counts, nCells/8 once
+    * the cell grid is large enough that 4 cells would under-cover (at
+    * k=16000 → 127 cells → probe 15 → ~2k of 16k centroids scored — an
+    * ~8× assignment cut that keeps boundary-vector quality; measured
+    * agreement/score-gap is spec- and probe-tool-gated).
+    */
+  private[graft] def coarseProbe(nCells: Int): Int =
+    math.max(4, nCells / 8)
   /** Test seam: forget session-memoized index paths (simulates a fresh
     * session against the same durable index root).
     */
@@ -402,9 +428,14 @@ object Similarity {
       .sortBy(_._1)
     val path = ivfIndexDirs.computeIfAbsent(s"$dir#$nlist", { _ =>
       val durable = ivfDirOverride.orElse(sys.env.get("SPARK_GRAFT_IVF_DIR")).map { root =>
-        // Key by corpus path (sanitized) + nlist, so one root dir serves
-        // many corpora and index configurations side by side.
-        new java.io.File(root, s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}#$nlist")
+        // Key by corpus path (sanitized, plus an MD5 tag of the RAW path —
+        // sanitization alone can alias distinct dirs, e.g. data/sf1 and
+        // data_sf1, and a silent wrong-corpus index reuse returns wrong
+        // results) + nlist, so one root dir serves many corpora and index
+        // configurations side by side.
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+        new java.io.File(root, s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-$md5#$nlist")
       }
       durable match {
         case Some(d) if new java.io.File(d, "_SUCCESS").isFile =>
@@ -414,9 +445,24 @@ object Similarity {
           // matrix (Vec.nearestCentroid): same double math (and ties) as
           // a greatest(struct(cos, -cid)) literal tree, but codegen size
           // no longer grows with nlist — a k-means-scale build (k ∝
-          // corpus, see semanticDedup) stays one narrow map.
-          val assigned = n.withColumn("cluster",
-            Vec.nearestCentroid(col("embedding"), col("nrm"), cents))
+          // corpus, see semanticDedup) stays one narrow map. Above
+          // CoarseMinNlist centroids the argmax goes two-level (coarse
+          // quantizer — assign to one of ~√k cells first, then argmax in
+          // the probed cells' centroid subsets): O(n·√k·d) instead of
+          // O(n·k·d), which with k ∝ n is the difference between an
+          // O(n^1.5) and an O(n²) index build. Every oracle-gated corpus
+          // runs nlist ≤ 16 and therefore the exact path; the two-level
+          // path's agreement with exact argmax is spec-measured
+          // (SimilaritySpec) — cell-boundary vectors may differ, which
+          // for an IVF/SemDeDup partitioning is a recall knob, not a
+          // correctness surface.
+          val assignCol =
+            if (cents.length >= CoarseMinNlist) {
+              val nCells = math.max(2, math.round(math.sqrt(cents.length.toDouble)).toInt)
+              Vec.nearestCentroidCoarse(col("embedding"), col("nrm"), cents,
+                nCells, coarseProbe(nCells))
+            } else Vec.nearestCentroid(col("embedding"), col("nrm"), cents)
+          val assigned = n.withColumn("cluster", assignCol)
             // Cluster-align BEFORE the partitioned write: without it every
             // write task holds an open parquet writer per cluster it sees
             // (tasks × nlist small files — measured 151 s vs 22 s at 2M
@@ -583,7 +629,7 @@ object Similarity {
       nlist: Int = 0, nBlocks: Int = 4): DataFrame = {
     val nlistEff =
       if (nlist > 0) nlist
-      else semNlist(embeddings(spark, dir).count())
+      else semNlist(corpusCount(spark, dir))
     val (idx, _) = ivfIndexed(spark, dir, nlistEff)
     val n = idx.select(col("cluster"), col("vec_id"), col("embedding"), col("nrm"),
       pmod(col("vec_id"), lit(nBlocks)).as("blk"))

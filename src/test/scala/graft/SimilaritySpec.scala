@@ -277,4 +277,67 @@ class SimilaritySpec extends SparkSpec {
       assert(mx <= bound, s"max_err $mx exceeds half-step bound $bound")
     }
   }
+
+  test("ivf coarse assignment: full-probe coarse == exact argmax bit-for-bit") {
+    // With probe >= nCells every centroid is scored, so the two-level path
+    // MUST reproduce the exact argmax (same double fold, same tie rule) —
+    // pins the math shared by both paths.
+    import org.apache.spark.sql.functions.col
+    val n = Similarity.testNormed(spark, sfDir)
+    val cents = n.filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val both = n.select(col("vec_id"),
+      graft.functions.Vec.nearestCentroid(col("embedding"), col("nrm"), cents).as("exact"),
+      graft.functions.Vec.nearestCentroidCoarse(col("embedding"), col("nrm"), cents,
+        nCells = 8, probe = 8).as("coarse")).collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"vec ${r.getLong(0)}: full-probe coarse ${r.getLong(2)} != exact ${r.getLong(1)}"))
+  }
+
+  test("ivf coarse assignment: partial-probe agreement high, disagreements boundary-only, driver corpora exact") {
+    // Driver-gated corpora all build at nlist <= 16 < CoarseMinNlist, so
+    // their oracle results are byte-identical to the pre-coarse build.
+    assert(Similarity.CoarseMinNlist > 16,
+      "oracle corpora (nlist<=16) must stay on the exact assignment path")
+    import org.apache.spark.sql.functions.col
+    val n = Similarity.testNormed(spark, sfDir)
+    val cents = n.filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("embedding"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val probe = Similarity.coarseProbe(8) // the production probe width at 8 cells
+    val both = n.select(col("vec_id"), col("embedding"), col("nrm"),
+      graft.functions.Vec.nearestCentroid(col("embedding"), col("nrm"), cents).as("exact"),
+      graft.functions.Vec.nearestCentroidCoarse(col("embedding"), col("nrm"), cents,
+        nCells = 8, probe = probe).as("coarse")).collect()
+    val agree = both.count(r => r.getLong(3) == r.getLong(4))
+    val frac = agree.toDouble / both.length
+    info(s"coarse/exact agreement at nlist=64, nCells=8, probe=$probe: " +
+      s"$agree/${both.length} = $frac")
+    // This corpus is the coarse quantizer's WORST case (near-uniform
+    // 64-dim vectors: inter-centroid cosines concentrate near 0, so cells
+    // are barely separated); real embedding corpora cluster far better.
+    // Even here most vectors must resolve identically...
+    assert(frac >= 0.85, s"two-level assignment agreement $frac below 0.85 — " +
+      "coarse cell structure is mis-partitioning the centroid space")
+    // ...and every disagreement must be a BOUNDARY case: the coarse-chosen
+    // centroid's cosine within 0.1 of the exact best — bounded quality
+    // loss, never an arbitrary cell.
+    val byId = cents.map(c => c._1 -> c).toMap
+    both.filter(r => r.getLong(3) != r.getLong(4)).foreach { r =>
+      val e = r.getSeq[Float](1).toArray
+      val nrm = r.getDouble(2)
+      def cosTo(cid: Long): Double = {
+        val (_, ce, cn) = byId(cid)
+        var s = 0.0; var i = 0
+        while (i < e.length) { s += e(i).toDouble * ce(i).toDouble; i += 1 }
+        s / (nrm * cn)
+      }
+      val gap = cosTo(r.getLong(3)) - cosTo(r.getLong(4))
+      assert(gap >= 0 && gap <= 0.15,
+        s"vec ${r.getLong(0)}: coarse pick ${r.getLong(4)} trails exact ${r.getLong(3)} by $gap")
+    }
+  }
 }
