@@ -381,14 +381,22 @@ object Similarity {
     * agreement.
     */
   private[graft] var CoarseMinNlist: Int = 64
-  /** Coarse cells probed per vector: 4 at small cell counts, nCells/8 once
-    * the cell grid is large enough that 4 cells would under-cover (at
-    * k=16000 → 127 cells → probe 15 → ~2k of 16k centroids scored — an
-    * ~8× assignment cut that keeps boundary-vector quality; measured
-    * agreement/score-gap is spec- and probe-tool-gated).
+  /** Coarse cells probed per vector — CONSTANT, deliberately: with probe ∝
+    * nCells the probed-centroid count is probe·k/nCells ∝ k and the build
+    * is back to O(n·k·d) with a smaller constant (measured: 292 s at 20M
+    * vectors, scoring 2016 of 16k centroids/vec). A constant probe keeps
+    * the per-vector cost at nCells + probe·k/nCells, which [[coarseCellsOf]]
+    * minimizes to 2·√(probe·k) — the real O(√k) per vector.
     */
-  private[graft] def coarseProbe(nCells: Int): Int =
-    math.max(4, nCells / 8)
+  private[graft] val CoarseProbe = 4
+  private[graft] def coarseProbe(nCells: Int): Int = CoarseProbe
+  /** Cell count minimizing nCells + probe·k/nCells: √(probe·k). At k=16000
+    * → 253 cells, ~506 of 16k centroids scored per vector (vs 2016 for the
+    * √k-cells/probe-∝-cells formulation this replaces).
+    */
+  private[graft] def coarseCellsOf(k: Int): Int =
+    math.max(2, math.min(k,
+      math.round(math.sqrt(CoarseProbe.toDouble * k)).toInt))
   /** Test seam: forget session-memoized index paths (simulates a fresh
     * session against the same durable index root).
     */
@@ -458,7 +466,7 @@ object Similarity {
           // correctness surface.
           val assignCol =
             if (cents.length >= CoarseMinNlist) {
-              val nCells = math.max(2, math.round(math.sqrt(cents.length.toDouble)).toInt)
+              val nCells = coarseCellsOf(cents.length)
               Vec.nearestCentroidCoarse(col("embedding"), col("nrm"), cents,
                 nCells, coarseProbe(nCells))
             } else Vec.nearestCentroid(col("embedding"), col("nrm"), cents)

@@ -332,6 +332,23 @@ class TextDedupSpec extends SparkSpec {
       s"an unpartitioned global-order window serializes the corpus:\n${plan.take(1200)}")
   }
 
+  test("text_rarity_score plan: no token-position-grain exchange, vocab join broadcast") {
+    val plan = Text.rarityScore(spark, sfDir).queryExecution.executedPlan.toString
+    // The only generator must consume the CACHED per-doc (tok, c) runs
+    // array; an explode of the raw tokenizer output would put one row per
+    // token POSITION (Zipf-skewed key) onto the downstream exchanges —
+    // the round-11 5.5 s/500k-doc plan this reshape replaced.
+    assert(plan.contains("explode(runs"),
+      s"generator must explode the cached runs column:\n${plan.take(1500)}")
+    assert(!plan.contains("explode(split"),
+      s"raw token-position explode resurfaced:\n${plan.take(1500)}")
+    // The vocab-sized freq frame must come back to the scorer as a
+    // broadcast, not a shuffle of the skewed token key.
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n${plan.take(1500)}")
+    Text.clearCaches()
+  }
+
   test("text_rarity_score equals an integer-math replay and ranks rare vocabulary higher") {
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .selectExpr("doc_id", "split(trim(lower(text)), '\\\\s+') as t").collect()
