@@ -138,10 +138,12 @@ object Bench {
     val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$nErr,""" +
       s""""errored":$errored,"queries":$qs,"value":$total}"""
     // Full copy on disk regardless of how much of stdout survives. The
-    // default lands in TRACKED bench/ (not gitignored target/) so every
-    // run — pass or fail — leaves a committable artifact; see the
-    // BENCH_HISTORY.md protocol note (rounds 8 and 10 both lost failed
-    // scale runs that only ever lived under target/).
+    // default lands under bench/ rather than target/ so a clean doesn't
+    // delete it (bench/latest.json itself is gitignored as a scratch
+    // slot — renaming it bench/bench_r{N}_{corpus}.json is what makes a
+    // run committable; see the BENCH_HISTORY.md protocol note — rounds 8
+    // and 10 both lost failed scale runs that only ever lived under
+    // target/).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest.json")
     try {
       // A bare filename has a null parent — skip dir creation, still write.

@@ -118,6 +118,19 @@ object Tables {
     * fixes that. At real data sizes the scan is already well-split and this
     * is a no-op (the condition is false) — it never adds a shuffle at scale.
     */
+  /** Filesystem-safe key for a corpus path, used by the durable derived-
+    * state roots (`SPARK_GRAFT_IVF_DIR`, `SPARK_GRAFT_DEDUP_DIR`):
+    * sanitized name for readability plus an MD5 tag of the RAW path —
+    * sanitization alone can alias distinct dirs (data/sf1 vs data_sf1),
+    * and silently reusing another corpus's derived state returns wrong
+    * results.
+    */
+  private[graft] def corpusKey(dir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-$md5"
+  }
+
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val par = spark.sparkContext.defaultParallelism

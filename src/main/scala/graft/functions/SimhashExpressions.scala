@@ -47,6 +47,18 @@ case class SimhashFingerprint(child: Expression, bits: Int, mod: Long)
 }
 
 object SimhashFingerprint {
+  /** Bit-constant arrays memoized per (bits, mod): they are invariant
+    * across rows, and recomputing the 62-entry family in the hot
+    * fingerprint map billed 62 multiply-mods + an allocation to every
+    * row. One lock-free lookup replaces them.
+    */
+  private val csCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+  private def csFor(bits: Int, mod: Long): Array[Long] =
+    csCache.computeIfAbsent((bits, mod), { case (b, m) =>
+      Array.tabulate(b)(i => ((2654435761L * (i + 1)) % m) | 1L)
+    })
+
   /** Shared by interpreted eval and codegen. The bit constants are the
     * same multiplicative family as the oracle:
     * C_i = ((2654435761·(i+1)) mod 2²⁵) | 1.
@@ -56,9 +68,8 @@ object SimhashFingerprint {
     val half = mod >> 1
     val n = gs.numElements()
     val ones = new Array[Int](bits)
-    val cs = new Array[Long](bits)
+    val cs = csFor(bits, mod)
     var i = 0
-    while (i < bits) { cs(i) = ((2654435761L * (i + 1)) % mod) | 1L; i += 1 }
     var j = 0
     while (j < n) {
       val g = gs.getLong(j)

@@ -324,21 +324,61 @@ object Dedup {
     // of s docs emits its s(s−1)/2 ordered pairs from the sorted doc list
     // — half the row volume of the self-join's s² probe output and one
     // exchange instead of two (measured 26.7 s → self-join vs this shape
-    // at 500k docs / 24M band rows). Bucket sizes are near-dup-group
-    // sized (banding hashes 128 signature bits, so unrelated docs
-    // colliding is ~2⁻¹²⁸); a pathologically hot bucket would surface in
-    // the size histogram long before the pair explosion — the same
-    // monitoring contract as any LSH system.
+    // at 500k docs / 24M band rows). Unrelated-doc collisions are ~2⁻¹²⁸
+    // (128 hashed signature bits), but TRUE dup groups collide in every
+    // band by construction — a 100k-identical-doc group would build a
+    // multi-billion-struct array in one row if pairs were expanded
+    // in-row. So expansion is routed by bucket size: buckets at or under
+    // [[LshBucketPairCap]] docs expand in-row (bounded ≤ cap²/2 structs);
+    // larger buckets go through a CHUNK GRID — the sorted doc list is cut
+    // into [[LshBucketChunk]]-doc slices (posexplode: total row volume =
+    // s, no duplication), chunk pairs meet in a streamed equi-join on
+    // (band, bk, chunk-pair), and per-row expansion is ≤ chunk² structs.
+    // Same pair set (sorted list ⇒ chunk order = doc order ⇒ a < b), same
+    // single distinct(); per-task memory is bounded no matter how
+    // degenerate the dup group.
     val ds = sort_array(col("ds"))
-    bands
+    val bucketed = bands
       .groupBy(col("band"), col("bk")).agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(flatten(transform(sequence(lit(1), size(ds) - 1), i =>
-        transform(slice(ds, i + 1, size(ds) - i), b =>
-          struct(element_at(ds, i).as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("band"), col("bk"), ds.as("ds"))
+    val small = bucketed.filter(size(col("ds")) <= LshBucketPairCap)
+      .select(explode(flatten(transform(sequence(lit(1), size(col("ds")) - 1), i =>
+        transform(slice(col("ds"), i + 1, size(col("ds")) - i), b =>
+          struct(element_at(col("ds"), i).as("doc_a"), b.as("doc_b")))))).as("p"))
+    val chunks = bucketed.filter(size(col("ds")) > LshBucketPairCap)
+      .select(col("band"), col("bk"), posexplode(transform(
+        sequence(lit(0), ceil(size(col("ds")) / lit(LshBucketChunk.toDouble)).cast("int") - 1),
+        ci => slice(col("ds"), ci * LshBucketChunk + 1, lit(LshBucketChunk)))).as(Seq("ci", "chunk")))
+    val big = chunks.as("x").join(chunks.as("y"),
+        col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+          col("x.ci") <= col("y.ci"))
+      .select(when(col("x.ci") === col("y.ci"),
+          // Diagonal cell: triangle within one chunk.
+          flatten(transform(sequence(lit(1), size(col("x.chunk")) - 1), i =>
+            transform(slice(col("x.chunk"), i + 1, size(col("x.chunk")) - i), b =>
+              struct(element_at(col("x.chunk"), i).as("doc_a"), b.as("doc_b"))))))
+        .otherwise(
+          // Off-diagonal: full cross (chunk order = doc order, so a < b).
+          flatten(transform(col("x.chunk"), a =>
+            transform(col("y.chunk"), b =>
+              struct(a.as("doc_a"), b.as("doc_b")))))).as("ps"))
+      .select(explode(col("ps")).as("p"))
+    small.unionByName(big)
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
+
+  /** Bucket size above which [[bandedCandidates]] stops expanding pairs
+    * in-row: the in-row array is bounded by cap²/2 structs (~8 MB at
+    * 1024). Spec seams (vars) let tests drive the chunk-grid path with
+    * tiny buckets.
+    */
+  private[graft] var LshBucketPairCap = 1024
+  /** Chunk size for the oversized-bucket grid: per-join-row expansion is
+    * ≤ chunk² structs (~4 MB at 512).
+    */
+  private[graft] var LshBucketChunk = 512
 
   def minhashLsh(spark: SparkSession, dir: String, tau: Double = 0.5): DataFrame =
     lshVerified(spark, dir).filter(col("jaccard") >= tau)
@@ -352,8 +392,35 @@ object Dedup {
     * path. Candidate pairs are ~linear in docs, so the cached frame is
     * tiny relative to the corpus.
     */
+  /** Per-session memo of durable verified-pair dirs, keyed by
+    * (corpus dir, banding constants). Mirrors the IVF index lifecycle
+    * ([[Similarity]]): by default the verified pair frame is only a
+    * session cache (rebuilt per session — the docs100x cold pass pays
+    * ~40 s of candidate mining + verification before the 0.4-0.8 s warm
+    * numbers); with `SPARK_GRAFT_DEDUP_DIR` set it is MATERIALIZED under
+    * that root and a later session reuses it without re-mining — cold ≈
+    * warm. The key encodes the corpus PATH plus every constant the frame
+    * depends on (K, B, R — a banding change invalidates the key);
+    * rebuild-on-corpus-change is the caller's contract, as for any
+    * derived lake state.
+    */
+  private val dedupPairDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] var dedupDirOverride: Option[String] = None
+  private[graft] def resetDedupMemo(): Unit = dedupPairDirs.clear()
+
   private def lshVerified(spark: SparkSession, dir: String): DataFrame =
-    tracked(lshVerifiedPlan(spark, dir))
+    dedupDirOverride.orElse(sys.env.get("SPARK_GRAFT_DEDUP_DIR")) match {
+      case None => tracked(lshVerifiedPlan(spark, dir))
+      case Some(root) =>
+        val path = dedupPairDirs.computeIfAbsent(s"$dir#K$K-B$B", { _ =>
+          val d = new java.io.File(root, s"${graft.Tables.corpusKey(dir)}#K$K-B$B")
+          if (!new java.io.File(d, "_SUCCESS").isFile)
+            lshVerifiedPlan(spark, dir).write.mode("overwrite").parquet(d.getPath)
+          d.getPath
+        })
+        tracked(spark.read.parquet(path))
+    }
 
   /** The uncached candidate+verify pipeline behind [[lshVerified]] —
     * exposed to the plan audit so the banding path stays pinned even when

@@ -436,14 +436,10 @@ object Similarity {
       .sortBy(_._1)
     val path = ivfIndexDirs.computeIfAbsent(s"$dir#$nlist", { _ =>
       val durable = ivfDirOverride.orElse(sys.env.get("SPARK_GRAFT_IVF_DIR")).map { root =>
-        // Key by corpus path (sanitized, plus an MD5 tag of the RAW path —
-        // sanitization alone can alias distinct dirs, e.g. data/sf1 and
-        // data_sf1, and a silent wrong-corpus index reuse returns wrong
-        // results) + nlist, so one root dir serves many corpora and index
-        // configurations side by side.
-        val md5 = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-        new java.io.File(root, s"${dir.replaceAll("[^A-Za-z0-9._-]", "_")}-$md5#$nlist")
+        // Key by corpus ([[graft.Tables.corpusKey]]: sanitized path + MD5
+        // tag so distinct dirs can never alias) + nlist, so one root dir
+        // serves many corpora and index configurations side by side.
+        new java.io.File(root, s"${graft.Tables.corpusKey(dir)}#$nlist")
       }
       durable match {
         case Some(d) if new java.io.File(d, "_SUCCESS").isFile =>
@@ -488,6 +484,16 @@ object Similarity {
             }))
             t
           }
+          // Task-commit-direct output (FileOutputCommitter v2): the
+          // default v1 job commit merges every partition dir sequentially
+          // on the driver — at k-means-scale nlist (16k dirs, 20M
+          // vectors) that merge measured 534 s vs 148 s with v2, which
+          // moves task output to its final location at task commit, in
+          // parallel. Benign session-wide setting (v2 trades atomic job
+          // commit for speed; the _SUCCESS marker below remains the
+          // reuse gate, so a torn build is never mistaken for an index).
+          spark.sparkContext.hadoopConfiguration
+            .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
           assigned.write.partitionBy("cluster").mode("overwrite").parquet(p.getPath)
           p.getPath
       }

@@ -165,6 +165,62 @@ class TextDedupSpec extends SparkSpec {
       s"prefix filter must prune candidates: cand=$cand sharing=$allSharing")
   }
 
+  test("banded candidates: oversized buckets route through the chunk grid with identical pairs") {
+    // A degenerate dup group (identical gram sets) collides in EVERY band;
+    // with the cap lowered the chunk grid must emit exactly the same
+    // C(n,2) pair set the in-row expansion produces, with per-row
+    // expansion bounded by chunk² instead of group².
+    import spark.implicits._
+    val g = (0L until 20L).flatMap(d => (1L to 5L).map(h => (d, h)))
+      .toDF("doc_id", "gh")
+    val expected = (for {
+      a <- 0L until 20L; b <- (a + 1) until 20L
+    } yield (a, b)).toSet
+    def run(): Set[(Long, Long)] = Dedup.testBandedCandidates(g).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val inRow = run() // default cap: whole group expands in-row
+    val (cap0, chunk0) = (Dedup.LshBucketPairCap, Dedup.LshBucketChunk)
+    try {
+      Dedup.LshBucketPairCap = 8
+      Dedup.LshBucketChunk = 4 // 20 docs -> 5 chunks -> 15 grid cells
+      val gridded = run()
+      assert(gridded == expected, s"chunk grid lost/invented pairs: ${gridded.size}")
+      assert(inRow == expected, s"in-row path lost/invented pairs: ${inRow.size}")
+    } finally {
+      Dedup.LshBucketPairCap = cap0
+      Dedup.LshBucketChunk = chunk0
+    }
+  }
+
+  test("dedup pair cache: a durable SPARK_GRAFT_DEDUP_DIR is reused by a later session, not rebuilt") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("dedup-reuse-").toFile
+    try {
+      Dedup.dedupDirOverride = Some(root.getPath)
+      Dedup.resetDedupMemo()
+      Dedup.clearCaches()
+      val p1 = Dedup.minhashLsh(spark, sfDir, tau = 0.5).count()
+      val sub = root.listFiles().find(_.getName.contains("#K"))
+        .getOrElse(fail("durable pair-frame subdir missing"))
+      assert(new java.io.File(sub, "_SUCCESS").isFile, "build must leave a _SUCCESS marker")
+      val stamps = sub.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      // Fresh "session": memo + caches cleared, same durable root — reuse.
+      Dedup.resetDedupMemo()
+      Dedup.clearCaches()
+      assert(Dedup.minhashLsh(spark, sfDir, tau = 0.5).count() == p1)
+      val after = sub.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      assert(after == stamps, s"reused pair frame must not be rewritten:\n$stamps\nvs\n$after")
+    } finally {
+      Dedup.dedupDirOverride = None
+      Dedup.resetDedupMemo()
+      Dedup.clearCaches()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root)
+    }
+  }
+
   test("minhash-lsh recovers exactly the >=tau exact-Jaccard pairs") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
