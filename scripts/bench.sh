@@ -1,0 +1,25 @@
+#!/bin/bash
+# Run graft.Bench (or another graft main via $MAIN) straight from the
+# compiled classes — sbt holds a global lock, so timed runs launched this
+# way can't collide with a concurrent test compile. Usage:
+#   SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_QUERIES=... scripts/bench.sh
+# Defaults mirror the driver protocol: local[32], repeat=2 pass-min.
+set -u
+cd "$(dirname "$0")/.."
+JOPTS="--add-opens=java.base/java.lang=ALL-UNNAMED
+--add-opens=java.base/java.lang.invoke=ALL-UNNAMED
+--add-opens=java.base/java.lang.reflect=ALL-UNNAMED
+--add-opens=java.base/java.io=ALL-UNNAMED
+--add-opens=java.base/java.net=ALL-UNNAMED
+--add-opens=java.base/java.nio=ALL-UNNAMED
+--add-opens=java.base/java.util=ALL-UNNAMED
+--add-opens=java.base/java.util.concurrent=ALL-UNNAMED
+--add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED
+--add-opens=java.base/sun.nio.ch=ALL-UNNAMED
+--add-opens=java.base/sun.nio.cs=ALL-UNNAMED
+--add-opens=java.base/sun.security.action=ALL-UNNAMED
+--add-opens=java.base/sun.util.calendar=ALL-UNNAMED
+-Djdk.reflect.useDirectMethodHandle=false"
+exec java $JOPTS -Xmx${BENCH_XMX:-96g} \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  "${MAIN:-graft.Bench}" "$@"

@@ -139,9 +139,16 @@ object Dedup {
     * cached: every τ ≥ [[PrefixKnee]] consumer filters the SAME
     * materialized pair stats instead of re-running the candidate join.
     */
-  private def prefixPairJaccard(spark: SparkSession, dir: String): DataFrame = {
+  private def prefixPairJaccard(spark: SparkSession, dir: String): DataFrame =
+    durablePairs(spark, dir, s"prefix-tau$PrefixKnee")(prefixPairJaccardPlan(spark, dir))
+
+  /** The uncached candidate+verify pipeline behind [[prefixPairJaccard]] —
+    * exposed (like [[lshVerifiedPlan]]) so the plan audit pins the prefix
+    * path even when the production frame answers from a durable dir.
+    */
+  private[graft] def prefixPairJaccardPlan(spark: SparkSession, dir: String): DataFrame = {
     val g = shingles(documents(spark, dir))
-    tracked(verifiedJaccard(g, prefixCandidates(g, PrefixKnee)))
+    verifiedJaccard(g, prefixCandidates(g, PrefixKnee))
   }
 
   /** PPJoin-style prefix filter (Chaudhuri et al., "A Primitive Operator
@@ -409,18 +416,28 @@ object Dedup {
   private[graft] var dedupDirOverride: Option[String] = None
   private[graft] def resetDedupMemo(): Unit = dedupPairDirs.clear()
 
-  private def lshVerified(spark: SparkSession, dir: String): DataFrame =
+  /** Durable-or-session lifecycle shared by every verified-pair frame
+    * ([[lshVerified]], [[prefixPairJaccard]]): without `SPARK_GRAFT_DEDUP_DIR`
+    * the plan is session-cached; with it, materialized once under
+    * `root/corpusKey#tag` and re-read by later sessions. `tag` must encode
+    * every constant the frame depends on.
+    */
+  private def durablePairs(spark: SparkSession, dir: String, tag: String)(
+      plan: => DataFrame): DataFrame =
     dedupDirOverride.orElse(sys.env.get("SPARK_GRAFT_DEDUP_DIR")) match {
-      case None => tracked(lshVerifiedPlan(spark, dir))
+      case None => tracked(plan)
       case Some(root) =>
-        val path = dedupPairDirs.computeIfAbsent(s"$dir#K$K-B$B", { _ =>
-          val d = new java.io.File(root, s"${graft.Tables.corpusKey(dir)}#K$K-B$B")
+        val path = dedupPairDirs.computeIfAbsent(s"$dir#$tag", { _ =>
+          val d = new java.io.File(root, s"${graft.Tables.corpusKey(dir)}#$tag")
           if (!new java.io.File(d, "_SUCCESS").isFile)
-            lshVerifiedPlan(spark, dir).write.mode("overwrite").parquet(d.getPath)
+            plan.write.mode("overwrite").parquet(d.getPath)
           d.getPath
         })
         tracked(spark.read.parquet(path))
     }
+
+  private def lshVerified(spark: SparkSession, dir: String): DataFrame =
+    durablePairs(spark, dir, s"K$K-B$B")(lshVerifiedPlan(spark, dir))
 
   /** The uncached candidate+verify pipeline behind [[lshVerified]] —
     * exposed to the plan audit so the banding path stays pinned even when

@@ -200,16 +200,24 @@ class TextDedupSpec extends SparkSpec {
       Dedup.resetDedupMemo()
       Dedup.clearCaches()
       val p1 = Dedup.minhashLsh(spark, sfDir, tau = 0.5).count()
+      val x1 = Dedup.ngramJaccard(spark, sfDir).count() // prefix frame
       val sub = root.listFiles().find(_.getName.contains("#K"))
         .getOrElse(fail("durable pair-frame subdir missing"))
+      val subPrefix = root.listFiles().find(_.getName.contains("#prefix"))
+        .getOrElse(fail("durable prefix-pair subdir missing"))
       assert(new java.io.File(sub, "_SUCCESS").isFile, "build must leave a _SUCCESS marker")
-      val stamps = sub.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      assert(new java.io.File(subPrefix, "_SUCCESS").isFile,
+        "prefix build must leave a _SUCCESS marker")
+      def snap(d: java.io.File) = d.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      val stamps = snap(sub); val stampsP = snap(subPrefix)
       // Fresh "session": memo + caches cleared, same durable root — reuse.
       Dedup.resetDedupMemo()
       Dedup.clearCaches()
       assert(Dedup.minhashLsh(spark, sfDir, tau = 0.5).count() == p1)
-      val after = sub.listFiles().map(f => f.getName -> f.lastModified()).toMap
-      assert(after == stamps, s"reused pair frame must not be rewritten:\n$stamps\nvs\n$after")
+      assert(Dedup.ngramJaccard(spark, sfDir).count() == x1)
+      assert(snap(sub) == stamps, s"reused pair frame must not be rewritten:\n$stamps")
+      assert(snap(subPrefix) == stampsP,
+        s"reused prefix frame must not be rewritten:\n$stampsP")
     } finally {
       Dedup.dedupDirOverride = None
       Dedup.resetDedupMemo()
