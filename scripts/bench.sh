@@ -20,6 +20,13 @@ JOPTS="--add-opens=java.base/java.lang=ALL-UNNAMED
 --add-opens=java.base/sun.security.action=ALL-UNNAMED
 --add-opens=java.base/sun.util.calendar=ALL-UNNAMED
 -Djdk.reflect.useDirectMethodHandle=false"
-exec java $JOPTS -Xmx${BENCH_XMX:-96g} \
+# Shuffle scratch + temp on tmpfs: this box's BUFFERED disk writes run at
+# ~16 MB/s (direct IO 250+ MB/s — pathological writeback throttling), which
+# turns every shuffle-heavy stage into an IO crawl. tmpfs measured 141 MB/s.
+# The scratch is deleted when the run exits.
+SCRATCH=$(mktemp -d /dev/shm/graft-bench-XXXX)
+trap 'rm -rf "$SCRATCH"' EXIT
+export SPARK_LOCAL_DIRS="$SCRATCH"
+java $JOPTS -Xmx${BENCH_XMX:-96g} -Djava.io.tmpdir="$SCRATCH" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   "${MAIN:-graft.Bench}" "$@"

@@ -318,46 +318,55 @@ object Dedup {
     * banding, also exposed to dev tooling (tools/ScalingReport) so its
     * measurements can never drift from what [[minhashLsh]] executes.
     */
-  private[graft] def bandedCandidates(g: DataFrame): DataFrame = {
+  private[graft] def bandRows(g: DataFrame): DataFrame = {
     val sigs = minhashSignaturesFrom(g)
     val bandKey = (b: Int) =>
       xxhash64(lit(b) +: (0 until R).map(r => col(s"h${b * R + r}")): _*)
-    val bands = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       explode(array((0 until B).map(b => struct(lit(b).as("band"), bandKey(b).as("bk"))): _*))
         .as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bk"))
+  }
+  private[graft] def testBands(g: DataFrame): DataFrame = bandRows(g)
+
+  private[graft] def bandedCandidates(g: DataFrame): DataFrame = {
+    val bands = bandRows(g)
     // Bucket-local pair generation instead of a band self-join: ONE
-    // shuffle of the band rows into (band, bk) buckets, then each bucket
-    // of s docs emits its s(s−1)/2 ordered pairs from the sorted doc list
-    // — half the row volume of the self-join's s² probe output and one
-    // exchange instead of two (measured 26.7 s → self-join vs this shape
-    // at 500k docs / 24M band rows). Unrelated-doc collisions are ~2⁻¹²⁸
-    // (128 hashed signature bits), but TRUE dup groups collide in every
-    // band by construction — a 100k-identical-doc group would build a
-    // multi-billion-struct array in one row if pairs were expanded
-    // in-row. So expansion is routed by bucket size: buckets at or under
-    // [[LshBucketPairCap]] docs expand in-row (bounded ≤ cap²/2 structs);
-    // larger buckets go through a CHUNK GRID — the sorted doc list is cut
+    // shuffle of the band rows into (band, bk) buckets, then pairs are
+    // expanded over a CHUNK GRID — each bucket's sorted doc list is cut
     // into [[LshBucketChunk]]-doc slices (posexplode: total row volume =
-    // s, no duplication), chunk pairs meet in a streamed equi-join on
-    // (band, bk, chunk-pair), and per-row expansion is ≤ chunk² structs.
-    // Same pair set (sorted list ⇒ chunk order = doc order ⇒ a < b), same
-    // single distinct(); per-task memory is bounded no matter how
-    // degenerate the dup group.
+    // s, no duplication), and every unordered chunk pair meets in exactly
+    // one cell of a self-join on (band, bk, ci ≤ cj). A diagonal cell
+    // expands its chunk's triangle, an off-diagonal cell the full cross
+    // (chunk order = doc order ⇒ a < b either way), so the pair set is
+    // identical to in-row expansion while per-row memory is bounded by
+    // chunk² structs (~4 MB at 512) no matter how degenerate the dup
+    // group — unrelated-doc collisions are ~2⁻¹²⁸ (128 hashed signature
+    // bits), but TRUE dup groups collide in all B bands by construction,
+    // and a 100k-identical-doc group would build a multi-billion-struct
+    // array if pairs were expanded from the bucket row directly.
+    //
+    // tracked() on the chunk frame is THE load-bearing call: the self-join
+    // must read ONE materialization of the signature agg + bucket agg +
+    // chunk split. Without it each join side re-executes the whole
+    // pipeline — exchange reuse is not dependable here (AQE broadcast
+    // conversion builds the build side from scratch; measured
+    // collect_list running 2× and the banding stage at 173 s vs ~25 s at
+    // 500k docs in a pre-cache formulation that routed small buckets
+    // around the join through a union). The cached frame is band-rows
+    // sized (B rows per doc, arrays of ≤ chunk ids) — the same volume the
+    // join would shuffle once anyway.
+    // Ordinary buckets (≲ chunk docs) are one chunk: their only cell is
+    // the diagonal triangle, expanded in-row exactly as the pre-grid code
+    // did.
     val ds = sort_array(col("ds"))
-    val bucketed = bands
+    val chunks = tracked(bands
       .groupBy(col("band"), col("bk")).agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(col("band"), col("bk"), ds.as("ds"))
-    val small = bucketed.filter(size(col("ds")) <= LshBucketPairCap)
-      .select(explode(flatten(transform(sequence(lit(1), size(col("ds")) - 1), i =>
-        transform(slice(col("ds"), i + 1, size(col("ds")) - i), b =>
-          struct(element_at(col("ds"), i).as("doc_a"), b.as("doc_b")))))).as("p"))
-    val chunks = bucketed.filter(size(col("ds")) > LshBucketPairCap)
       .select(col("band"), col("bk"), posexplode(transform(
-        sequence(lit(0), ceil(size(col("ds")) / lit(LshBucketChunk.toDouble)).cast("int") - 1),
-        ci => slice(col("ds"), ci * LshBucketChunk + 1, lit(LshBucketChunk)))).as(Seq("ci", "chunk")))
-    val big = chunks.as("x").join(chunks.as("y"),
+        sequence(lit(0), ceil(size(ds) / lit(LshBucketChunk.toDouble)).cast("int") - 1),
+        ci => slice(ds, ci * LshBucketChunk + 1, lit(LshBucketChunk)))).as(Seq("ci", "chunk"))))
+    chunks.as("x").join(chunks.as("y"),
         col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
           col("x.ci") <= col("y.ci"))
       .select(when(col("x.ci") === col("y.ci"),
@@ -371,19 +380,13 @@ object Dedup {
             transform(col("y.chunk"), b =>
               struct(a.as("doc_a"), b.as("doc_b")))))).as("ps"))
       .select(explode(col("ps")).as("p"))
-    small.unionByName(big)
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
-  /** Bucket size above which [[bandedCandidates]] stops expanding pairs
-    * in-row: the in-row array is bounded by cap²/2 structs (~8 MB at
-    * 1024). Spec seams (vars) let tests drive the chunk-grid path with
-    * tiny buckets.
-    */
-  private[graft] var LshBucketPairCap = 1024
-  /** Chunk size for the oversized-bucket grid: per-join-row expansion is
-    * ≤ chunk² structs (~4 MB at 512).
+  /** Chunk size for the bucket pair grid: per-join-row expansion is
+    * ≤ chunk² structs (~4 MB at 512). A spec seam (var) lets tests drive
+    * multi-chunk buckets with tiny inputs.
     */
   private[graft] var LshBucketChunk = 512
 

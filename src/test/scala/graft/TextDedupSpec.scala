@@ -178,16 +178,14 @@ class TextDedupSpec extends SparkSpec {
     } yield (a, b)).toSet
     def run(): Set[(Long, Long)] = Dedup.testBandedCandidates(g).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    val inRow = run() // default cap: whole group expands in-row
-    val (cap0, chunk0) = (Dedup.LshBucketPairCap, Dedup.LshBucketChunk)
+    val oneChunk = run() // default chunk: whole group is one diagonal cell
+    val chunk0 = Dedup.LshBucketChunk
     try {
-      Dedup.LshBucketPairCap = 8
       Dedup.LshBucketChunk = 4 // 20 docs -> 5 chunks -> 15 grid cells
       val gridded = run()
       assert(gridded == expected, s"chunk grid lost/invented pairs: ${gridded.size}")
-      assert(inRow == expected, s"in-row path lost/invented pairs: ${inRow.size}")
+      assert(oneChunk == expected, s"one-chunk path lost/invented pairs: ${oneChunk.size}")
     } finally {
-      Dedup.LshBucketPairCap = cap0
       Dedup.LshBucketChunk = chunk0
     }
   }
