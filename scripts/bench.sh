@@ -27,6 +27,10 @@ JOPTS="--add-opens=java.base/java.lang=ALL-UNNAMED
 SCRATCH=$(mktemp -d /dev/shm/graft-bench-XXXX)
 trap 'rm -rf "$SCRATCH"' EXIT
 export SPARK_LOCAL_DIRS="$SCRATCH"
+# Aggressive periodic GC: shuffle files are deleted by the ContextCleaner
+# only after the shuffle dependency is GC'd — with tmpfs scratch those
+# dead files are RAM, so the default 30-min cadence can OOM a long pass.
 java $JOPTS -Xmx${BENCH_XMX:-96g} -Djava.io.tmpdir="$SCRATCH" \
+  -Dspark.cleaner.periodicGC.interval="${BENCH_GC_INTERVAL:-90s}" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   "${MAIN:-graft.Bench}" "$@"

@@ -24,8 +24,21 @@ object Dedup {
   private val caches = new graft.CacheRegistry
   private def tracked(df: DataFrame): DataFrame = caches.tracked(df)
 
+  /** Build-scratch registry: frames cached ONLY to serve one derived-state
+    * build (today: the banding chunk frame feeding the candidate
+    * self-join). Once the verified pair frame they feed is materialized
+    * they are dead weight — several GB of storage plus the upstream
+    * shuffle files their lineage pins against the ContextCleaner — so the
+    * build releases them immediately instead of leaving them to the
+    * end-of-session [[clearCaches]] (at the 5M-doc corpus the pinned
+    * banding state was the difference between the next operator's verify
+    * join fitting in memory and the kernel OOM-killing the session).
+    */
+  private val buildCaches = new graft.CacheRegistry
+  private def buildTracked(df: DataFrame): DataFrame = buildCaches.tracked(df)
+
   /** Unpersist every frame this suite has cached. */
-  def clearCaches(): Unit = caches.clear()
+  def clearCaches(): Unit = { buildCaches.clear(); caches.clear() }
 
   /** Distinct HASHED token-3-gram shingles per doc: (doc_id, gh: long).
     * Grams are xxhash64'd to 64 bits inside the transform, so the explode,
@@ -140,7 +153,7 @@ object Dedup {
     * materialized pair stats instead of re-running the candidate join.
     */
   private def prefixPairJaccard(spark: SparkSession, dir: String): DataFrame =
-    durablePairs(spark, dir, s"prefix-tau$PrefixKnee")(prefixPairJaccardPlan(spark, dir))
+    durablePairs(spark, dir, s"prefix-tau$PrefixKnee")(prefixPairJaccardBuild(spark, dir))
 
   /** The uncached candidate+verify pipeline behind [[prefixPairJaccard]] —
     * exposed (like [[lshVerifiedPlan]]) so the plan audit pins the prefix
@@ -149,6 +162,23 @@ object Dedup {
   private[graft] def prefixPairJaccardPlan(spark: SparkSession, dir: String): DataFrame = {
     val g = shingles(documents(spark, dir))
     verifiedJaccard(g, prefixCandidates(g, PrefixKnee))
+  }
+
+  /** PHASED build of the prefix pair frame: materialize the SLIM candidate
+    * pairs with their own action ([[buildCaches]] scratch), then hand the
+    * verify a cache scan. Fused into one query, the candidate generation's
+    * shuffles (the pre-distinct prefix join is ~1B rows at 5M docs) and
+    * the verify's set-attached exchanges are all live at once — the SUM of
+    * the two phases' footprints, measured as a kernel OOM kill at the
+    * 5M-doc corpus, where the staged phases fit with tens of GB to spare
+    * (candidates 125 s + verify 11 s at 86M candidates). On a cluster the
+    * same staging bounds peak shuffle-store footprint per executor.
+    */
+  private def prefixPairJaccardBuild(spark: SparkSession, dir: String): DataFrame = {
+    val g = shingles(documents(spark, dir))
+    val cand = buildTracked(prefixCandidates(g, PrefixKnee))
+    cand.count(): Unit
+    verifiedJaccard(g, cand)
   }
 
   /** PPJoin-style prefix filter (Chaudhuri et al., "A Primitive Operator
@@ -252,7 +282,17 @@ object Dedup {
     * docs / 5.3M candidates; this shape runs it in seconds).
     */
   private def verifiedJaccard(g: DataFrame, cand: DataFrame): DataFrame = {
-    val sets = gramSets(g)
+    // SHUFFLE_HASH on the set side, both joins: per shuffle partition the
+    // build map is 1-row/doc — ~70 MB at 5M docs / 32 partitions — while
+    // the probe side is the candidate frame dragging gram ARRAYS
+    // (~450 B/doc attached to every pair). A sort-merge join SORTS that
+    // wide probe side (~25 GB at 5M docs), doubling its on-disk footprint
+    // with spill runs — measured as the kernel OOM-killing the 5M-doc
+    // suite on tmpfs scratch; the hash join streams it through untouched.
+    // Same property at cluster scale: the per-partition set map stays
+    // executor-sized no matter the corpus (it shards with the shuffle),
+    // so never sorting the pair-grain side is strictly less IO.
+    val sets = gramSets(g).hint("shuffle_hash")
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ghs").as("ga"), col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("ghs").as("gb"), col("n").as("nb")), "doc_b")
@@ -360,7 +400,7 @@ object Dedup {
     // the diagonal triangle, expanded in-row exactly as the pre-grid code
     // did.
     val ds = sort_array(col("ds"))
-    val chunks = tracked(bands
+    val chunks = buildTracked(bands
       .groupBy(col("band"), col("bk")).agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(col("band"), col("bk"), posexplode(transform(
@@ -416,6 +456,28 @@ object Dedup {
     */
   private val dedupPairDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Ephemeral pair-frame root for sessions WITHOUT a durable
+    * `SPARK_GRAFT_DEDUP_DIR`: same materialize-then-read lifecycle, under
+    * a scratch dir deleted at JVM exit. Materializing to parquet (rather
+    * than holding the build plan as a cached frame) is load-bearing: a
+    * cached frame's lineage still references every shuffle dependency of
+    * the build, which pins tens of GB of dead candidate/banding shuffle
+    * files against the ContextCleaner for the rest of the session — at
+    * the 5M-doc corpus that residue OOM-killed the NEXT pair build. The
+    * parquet read-back starts a fresh lineage, so the build's scratch
+    * (caches AND shuffle files) is collectable the moment the write
+    * commits.
+    */
+  private lazy val sessionPairRoot: String = {
+    val t = java.nio.file.Files.createTempDirectory("graft-dedup-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(t)
+    }))
+    t.getPath
+  }
   private[graft] var dedupDirOverride: Option[String] = None
   private[graft] def resetDedupMemo(): Unit = dedupPairDirs.clear()
 
@@ -426,21 +488,22 @@ object Dedup {
     * every constant the frame depends on.
     */
   private def durablePairs(spark: SparkSession, dir: String, tag: String)(
-      plan: => DataFrame): DataFrame =
-    dedupDirOverride.orElse(sys.env.get("SPARK_GRAFT_DEDUP_DIR")) match {
-      case None => tracked(plan)
-      case Some(root) =>
-        val path = dedupPairDirs.computeIfAbsent(s"$dir#$tag", { _ =>
-          val d = new java.io.File(root, s"${graft.Tables.corpusKey(dir)}#$tag")
-          if (!new java.io.File(d, "_SUCCESS").isFile)
-            plan.write.mode("overwrite").parquet(d.getPath)
-          d.getPath
-        })
-        tracked(spark.read.parquet(path))
-    }
+      build: => DataFrame): DataFrame = {
+    val root = dedupDirOverride.orElse(sys.env.get("SPARK_GRAFT_DEDUP_DIR"))
+      .getOrElse(sessionPairRoot)
+    val path = dedupPairDirs.computeIfAbsent(s"$dir#$tag", { _ =>
+      val d = new java.io.File(root, s"${graft.Tables.corpusKey(dir)}#$tag")
+      if (!new java.io.File(d, "_SUCCESS").isFile) {
+        build.write.mode("overwrite").parquet(d.getPath)
+        buildCaches.clear()
+      }
+      d.getPath
+    })
+    tracked(spark.read.parquet(path))
+  }
 
   private def lshVerified(spark: SparkSession, dir: String): DataFrame =
-    durablePairs(spark, dir, s"K$K-B$B")(lshVerifiedPlan(spark, dir))
+    durablePairs(spark, dir, s"K$K-B$B")(lshVerifiedBuild(spark, dir))
 
   /** The uncached candidate+verify pipeline behind [[lshVerified]] —
     * exposed to the plan audit so the banding path stays pinned even when
@@ -452,6 +515,16 @@ object Dedup {
     // cached copy (see shingles()) serves both.
     val g = shingles(docs)
     verifiedJaccard(g, bandedCandidates(g))
+  }
+
+  /** PHASED build of the LSH pair frame — same candidate-then-verify
+    * staging as [[prefixPairJaccardBuild]], same OOM rationale.
+    */
+  private def lshVerifiedBuild(spark: SparkSession, dir: String): DataFrame = {
+    val g = shingles(documents(spark, dir))
+    val cand = buildTracked(bandedCandidates(g))
+    cand.count(): Unit
+    verifiedJaccard(g, cand)
   }
 
   /** Near-dup CLUSTERS: connected components over the verified ≥ τ pair

@@ -98,7 +98,10 @@ class PlanAuditSpec extends SparkSpec {
     // Default-τ call: since round 11 the operator DEFAULT is the knee
     // (τ=0.5, prefix-filtered) — the sub-knee near-quadratic listing is
     // an explicit opt-in. This pin fails if the default regresses.
-    val plan = planOf(graft.operators.Dedup.ngramJaccard(spark, sfDir))
+    // Audit the pipeline BEHIND the materialized pair frame (the
+    // production query legitimately answers from the parquet-backed
+    // frame — pinned below), same convention as the clusters-edge pin.
+    val plan = planOf(graft.operators.Dedup.prefixPairJaccardPlan(spark, sfDir))
     // The candidate join's inputs are prefix SLICES of the per-doc
     // rarest-first gram arrays (round 11: the rank windows became one
     // agg + slice — suffix grams never materialize), and the integer-math
@@ -110,6 +113,10 @@ class PlanAuditSpec extends SparkSpec {
     assert("(?is)999999.*div 1000000".r.findFirstIn(plan).isDefined,
       s"integer-math prefix bound missing from the plan:\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // Production must answer from the materialized pair frame, not re-mine.
+    val prod = planOf(graft.operators.Dedup.ngramJaccard(spark, sfDir))
+    assert(prod.contains("InMemoryTableScan") || prod.contains("FileScan parquet"),
+      s"default-τ ngram must read the materialized pair frame:\n${prod.take(1500)}")
   }
 
   test("dedup_ngram_jaccard sub-knee: lean naive join — no rank windows, no df payload") {
