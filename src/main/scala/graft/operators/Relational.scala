@@ -248,10 +248,16 @@ object Relational {
     */
   def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     // 2654435761 = 40503·2¹⁶ + 31153; see the scaladoc for the exactness
-    // argument (every intermediate < 2⁴⁸ — pure int64, no wrap).
-    val lo = pmod(col("o_orderkey"), lit(4294967296L))
-    val bucket = pmod(lo * lit(31153L) + pmod(lo * lit(40503L), lit(65536L)) * lit(65536L),
-        lit(4294967296L))
+    // argument (every intermediate < 2⁴⁸ — pure int64, no wrap). The
+    // power-of-two reductions are BITMASKS, not pmods: for a modulus 2^k,
+    // two's-complement masking (x & (2^k−1)) equals the positive residue
+    // for EVERY long, negative keys included, and costs an AND instead of
+    // a division each (three divisions per row measured as the r11→r12
+    // regression 0.26→0.67 s at sf0.1). The final mod 1000 keeps its
+    // division (not a power of two) on an already-non-negative operand.
+    val lo = col("o_orderkey").bitwiseAND(lit(4294967295L))
+    val bucket = (lo * lit(31153L) + (lo * lit(40503L)).bitwiseAND(lit(65535L)) * lit(65536L))
+      .bitwiseAND(lit(4294967295L))
       .mod(lit(1000L))
     val split = when(bucket < 800, lit("train"))
       .when(bucket < 900, lit("val")).otherwise(lit("test"))
