@@ -212,18 +212,72 @@ object Text {
     * contamination / boilerplate probe a training-data pipeline runs over
     * the corpus.
     *
-    * Scale: explode → one hash-shuffle on the gram with map-side partial
-    * counts; the top-N is TakeOrderedAndProject (per-partition partial
-    * top-k), never a global sort. Deterministic tie-break on the gram.
+    * TWO-PHASE: natural-text gram cardinality is near-distinct, so map-side
+    * partials barely compress and the single-phase formulation shuffled
+    * every gram OCCURRENCE as a ~30-byte string key (~400M string rows at
+    * 5M docs — the 32.3 s suite leader). Phase 1 counts on xxhash64(gram):
+    * the big exchange carries 8-byte longs (the same key-shrinking trick
+    * the dedup suite rides end to end). Phase 2 recovers the winning gram
+    * STRINGS collision-proof: the top-(N+slack) hash buckets' minimum
+    * count is a frequency floor; a second scan re-derives grams, keeps
+    * only those whose hash beats the floor (a broadcast semi-join —
+    * winner occurrences only cross the string-keyed exchange), and
+    * recounts them EXACTLY by string, so a 64-bit collision can inflate a
+    * bucket but never a reported frequency. The slack guards the floor
+    * itself: excluding a true top-N gram would need ≥ slack+1 independent
+    * collision-inflated buckets above it (expected colliding pairs at 4e8
+    * grams ≈ 0.004 corpus-wide — the slack buys ~(10⁻¹¹)^slack). The
+    * top-N itself is TakeOrderedAndProject (per-partition partial top-k),
+    * never a global sort; deterministic tie-break on the gram.
     */
   def ngramFreq(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
     val t = col("tk")
     val grams = when(size(t) < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(t) - 2),
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-    graft.Tables.spread(documents(spark, dir))
+    def gramRows = graft.Tables.spread(documents(spark, dir))
       .select(toks(col("text")).as("tk"))
       .select(explode(grams).as("gram"))
+    // Phase 1: occurrence counts on the 8-byte gram hash, with the freq-1
+    // buckets DROPPED before the cache — near-distinct cardinality means
+    // the overwhelming bulk of buckets count exactly one occurrence and
+    // can never beat a repeated gram; caching only the repeated buckets
+    // cuts the materialization ~10× (the uncut 400M-row cache build
+    // measured 100 s cold at 5M docs). The cache serves the floor probe
+    // and the winner filter as two actions over one materialization.
+    val slack = 8
+    val hcHeavy = tracked(gramRows
+      .groupBy(xxhash64(col("gram")).as("gh")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2))
+    // The floor is the (topN+slack)-th repeated-bucket count — driver-side
+    // top-k collect, index-metadata-sized like every probe/centroid
+    // collect in this engine.
+    val floorRows = hcHeavy.orderBy(col("freq").desc, col("gh").asc)
+      .limit(topN + slack).select(col("freq")).collect()
+    if (floorRows.length < topN + slack) {
+      // Flat or tiny corpus: fewer than topN+slack repeated buckets means
+      // freq-1 grams may reach the top-N, so the freq>=2 prefilter is not
+      // a safe winner gate — fall back to the exact single-phase count
+      // (such a corpus is small or degenerate-flat; the string exchange
+      // is cheap there).
+      return gramRows.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("gram").asc)
+        .limit(topN)
+    }
+    val floor = floorRows.map(_.getLong(0)).min
+    // Winners = EVERY bucket at/above the floor (a filter, not the
+    // collected top-k rows: buckets TIED at the floor must all survive —
+    // the final tie-break is `gram asc`, and a floor-tied gram cut by hash
+    // order could be the lexicographic winner). Bucket counts only ever
+    // overcount a gram (collisions merge), so the winner set is a superset
+    // of the true top-N whenever fewer than slack+1 collision-inflated
+    // buckets sit above a true winner.
+    val winners = hcHeavy.filter(col("freq") >= floor).select(col("gh"))
+    // Phase 2: exact string recount of just the winner buckets. The winner
+    // set is (topN+slack+ties)-sized → broadcast; the semi-join filters
+    // BEFORE the exchange, so only winner occurrences carry strings.
+    gramRows
+      .join(broadcast(winners), xxhash64(col("gram")) === col("gh"), "left_semi")
       .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("gram").asc)
       .limit(topN)

@@ -154,6 +154,14 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf(graft.operators.Text.ngramFreq(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-N must be TakeOrderedAndProject:\n$plan")
+    // Two-phase shape: the full gram stream must never cross an exchange
+    // as a string key — the string-grain aggregate may only see winner
+    // occurrences, i.e. it sits above a broadcast semi-join against the
+    // hashed phase-1 winner set.
+    assert(plan.contains("xxhash64"),
+      s"phase-2 winner filter must key on the 8-byte gram hash:\n${plan.take(1500)}")
+    assert(plan.contains("LeftSemi"),
+      s"winner filter must be a broadcast LEFT SEMI join before the string-grain agg:\n${plan.take(1500)}")
   }
 
   test("q_hll_merge builds sketches with partial (map-side) aggregation") {
