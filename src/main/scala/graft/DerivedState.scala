@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Durable-or-session lifecycle shared by every materialized derived-state
+  * frame in the engine (verified dedup pair frames, simhash collision
+  * pairs, contamination pairs, converged cluster labels): without
+  * `SPARK_GRAFT_DEDUP_DIR` the frame is materialized under a session
+  * scratch root (deleted at JVM exit); with it, materialized once under
+  * `root/corpusKey#tag` and REUSED by later sessions without rebuilding —
+  * on a real cluster that root belongs in the lake next to the corpus,
+  * like any index. `tag` must encode every constant the frame depends on;
+  * rebuild-on-corpus-change is the caller's contract (the key encodes the
+  * corpus PATH, not its contents), same as the IVF index lifecycle.
+  *
+  * Materializing to parquet (rather than holding the build plan as a
+  * cached frame) is load-bearing: a cached frame's lineage still
+  * references every shuffle dependency of the build, which pins tens of
+  * GB of dead candidate/banding shuffle files against the ContextCleaner
+  * for the rest of the session — at the 5M-doc corpus that residue
+  * OOM-killed the next pair build. The parquet read-back starts a fresh
+  * lineage, so the build's scratch (caches AND shuffle files) is
+  * collectable the moment the write commits.
+  *
+  * Concurrency: the path memo is keyed by (resolved root, corpus, tag) —
+  * changing the root override or env mid-session can never serve frames
+  * from the old root — and each first-build runs under a PER-KEY lock
+  * OUTSIDE any ConcurrentHashMap compute lambda, so concurrent builds of
+  * different tags never serialize behind a bin lock and a reentrant
+  * build (a build whose body materializes another frame) cannot
+  * deadlock the map.
+  */
+private[graft] object DerivedState {
+  private val dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Build-scoped cache registry: while a materialization's build plan is
+    * being written, frames registered through [[buildTracked]] land in a
+    * registry scoped to THAT build and are blocking-unpersisted the moment
+    * its write commits — build scratch registered by a concurrent build or
+    * by direct callers (plan audits, probes) is never touched.
+    */
+  private val scratch = new ThreadLocal[CacheRegistry]
+
+  /** Test seam mirroring the old Dedup override. */
+  private[graft] var rootOverride: Option[String] = None
+
+  private lazy val sessionRoot: String = {
+    val t = java.nio.file.Files.createTempDirectory("graft-derived-").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(t)
+    }))
+    t.getPath
+  }
+
+  private def resolvedRoot: String =
+    rootOverride.orElse(sys.env.get("SPARK_GRAFT_DEDUP_DIR")).getOrElse(sessionRoot)
+
+  /** Register `df` as scratch of the currently-running build (released
+    * when that build's write commits); outside any build, register into
+    * the caller's long-lived `fallback` registry.
+    */
+  def buildTracked(fallback: CacheRegistry)(df: DataFrame): DataFrame =
+    Option(scratch.get).getOrElse(fallback).tracked(df)
+
+  /** Forget session-memoized paths (simulates a fresh session against the
+    * same durable root).
+    */
+  def reset(): Unit = dirs.clear()
+
+  /** The materialized frame for (corpus `dir`, `tag`), building it with
+    * `build` exactly once per (root, dir, tag) per session if no durable
+    * copy exists. Returns an UN-cached parquet read — callers wrap it in
+    * their own registry's tracked() if they want it warm.
+    */
+  def materialized(spark: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame = {
+    val root = resolvedRoot
+    val key = s"$root#$dir#$tag"
+    val path = Option(dirs.get(key)).getOrElse {
+      val lock = locks.computeIfAbsent(key, _ => new Object)
+      lock.synchronized {
+        Option(dirs.get(key)).getOrElse {
+          val d = new java.io.File(root, s"${Tables.corpusKey(dir)}#$tag")
+          if (!new java.io.File(d, "_SUCCESS").isFile) {
+            val reg = new CacheRegistry
+            val prev = scratch.get
+            scratch.set(reg)
+            try build.write.mode("overwrite").parquet(d.getPath)
+            finally {
+              if (prev == null) scratch.remove() else scratch.set(prev)
+              reg.clear()
+            }
+          }
+          dirs.put(key, d.getPath)
+          d.getPath
+        }
+      }
+    }
+    spark.read.parquet(path)
+  }
+}

@@ -24,18 +24,21 @@ object Dedup {
   private val caches = new graft.CacheRegistry
   private def tracked(df: DataFrame): DataFrame = caches.tracked(df)
 
-  /** Build-scratch registry: frames cached ONLY to serve one derived-state
-    * build (today: the banding chunk frame feeding the candidate
+  /** Build-scratch registration: frames cached ONLY to serve one
+    * derived-state build (the banding chunk frame feeding the candidate
     * self-join). Once the verified pair frame they feed is materialized
     * they are dead weight — several GB of storage plus the upstream
-    * shuffle files their lineage pins against the ContextCleaner — so the
-    * build releases them immediately instead of leaving them to the
-    * end-of-session [[clearCaches]] (at the 5M-doc corpus the pinned
-    * banding state was the difference between the next operator's verify
-    * join fitting in memory and the kernel OOM-killing the session).
+    * shuffle files their lineage pins against the ContextCleaner — so
+    * [[graft.DerivedState]] scopes a registry per build and releases it
+    * the moment the build's write commits (at the 5M-doc corpus the
+    * pinned banding state was the difference between the next operator's
+    * verify join fitting in memory and the kernel OOM-killing the
+    * session). Direct callers outside a build (plan audit, probes)
+    * register into `buildCaches`, released with [[clearCaches]].
     */
   private val buildCaches = new graft.CacheRegistry
-  private def buildTracked(df: DataFrame): DataFrame = buildCaches.tracked(df)
+  private def buildTracked(df: DataFrame): DataFrame =
+    graft.DerivedState.buildTracked(buildCaches)(df)
 
   /** Unpersist every frame this suite has cached. */
   def clearCaches(): Unit = { buildCaches.clear(); caches.clear() }
@@ -442,65 +445,28 @@ object Dedup {
     * path. Candidate pairs are ~linear in docs, so the cached frame is
     * tiny relative to the corpus.
     */
-  /** Per-session memo of durable verified-pair dirs, keyed by
-    * (corpus dir, banding constants). Mirrors the IVF index lifecycle
-    * ([[Similarity]]): by default the verified pair frame is only a
-    * session cache (rebuilt per session — the docs100x cold pass pays
-    * ~40 s of candidate mining + verification before the 0.4-0.8 s warm
-    * numbers); with `SPARK_GRAFT_DEDUP_DIR` set it is MATERIALIZED under
-    * that root and a later session reuses it without re-mining — cold ≈
-    * warm. The key encodes the corpus PATH plus every constant the frame
-    * depends on (K, B, R — a banding change invalidates the key);
-    * rebuild-on-corpus-change is the caller's contract, as for any
-    * derived lake state.
+  /** Durable pair-frame lifecycle — see [[graft.DerivedState]] (the memo
+    * key includes the resolved root, the first-build runs under a per-key
+    * lock, and build scratch is registry-scoped per build). The test
+    * seams forward to it so the existing spec surface keeps working.
     */
-  private val dedupPairDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  /** Ephemeral pair-frame root for sessions WITHOUT a durable
-    * `SPARK_GRAFT_DEDUP_DIR`: same materialize-then-read lifecycle, under
-    * a scratch dir deleted at JVM exit. Materializing to parquet (rather
-    * than holding the build plan as a cached frame) is load-bearing: a
-    * cached frame's lineage still references every shuffle dependency of
-    * the build, which pins tens of GB of dead candidate/banding shuffle
-    * files against the ContextCleaner for the rest of the session — at
-    * the 5M-doc corpus that residue OOM-killed the NEXT pair build. The
-    * parquet read-back starts a fresh lineage, so the build's scratch
-    * (caches AND shuffle files) is collectable the moment the write
-    * commits.
-    */
-  private lazy val sessionPairRoot: String = {
-    val t = java.nio.file.Files.createTempDirectory("graft-dedup-").toFile
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(t)
-    }))
-    t.getPath
-  }
-  private[graft] var dedupDirOverride: Option[String] = None
-  private[graft] def resetDedupMemo(): Unit = dedupPairDirs.clear()
+  private[graft] def dedupDirOverride: Option[String] =
+    graft.DerivedState.rootOverride
+  private[graft] def dedupDirOverride_=(v: Option[String]): Unit =
+    graft.DerivedState.rootOverride = v
+  private[graft] def resetDedupMemo(): Unit = graft.DerivedState.reset()
 
   /** Durable-or-session lifecycle shared by every verified-pair frame
-    * ([[lshVerified]], [[prefixPairJaccard]]): without `SPARK_GRAFT_DEDUP_DIR`
-    * the plan is session-cached; with it, materialized once under
-    * `root/corpusKey#tag` and re-read by later sessions. `tag` must encode
-    * every constant the frame depends on.
+    * ([[lshVerified]], [[prefixPairJaccard]], [[simhash]], the converged
+    * cluster labels): without `SPARK_GRAFT_DEDUP_DIR` the frame is
+    * session-materialized; with it, written once under `root/corpusKey#tag`
+    * and re-read by later sessions without re-mining — cold ≈ warm. `tag`
+    * must encode every constant the frame depends on (K, B, R — a banding
+    * change invalidates the key).
     */
   private def durablePairs(spark: SparkSession, dir: String, tag: String)(
-      build: => DataFrame): DataFrame = {
-    val root = dedupDirOverride.orElse(sys.env.get("SPARK_GRAFT_DEDUP_DIR"))
-      .getOrElse(sessionPairRoot)
-    val path = dedupPairDirs.computeIfAbsent(s"$dir#$tag", { _ =>
-      val d = new java.io.File(root, s"${graft.Tables.corpusKey(dir)}#$tag")
-      if (!new java.io.File(d, "_SUCCESS").isFile) {
-        build.write.mode("overwrite").parquet(d.getPath)
-        buildCaches.clear()
-      }
-      d.getPath
-    })
-    tracked(spark.read.parquet(path))
-  }
+      build: => DataFrame): DataFrame =
+    tracked(graft.DerivedState.materialized(spark, dir, tag)(build))
 
   private def lshVerified(spark: SparkSession, dir: String): DataFrame =
     durablePairs(spark, dir, s"K$K-B$B")(lshVerifiedBuild(spark, dir))
@@ -564,23 +530,21 @@ object Dedup {
     if (tau >= 0.5) minhashLsh(spark, dir, tau).select(col("doc_a"), col("doc_b"))
     else ngramJaccard(spark, dir, tau).select(col("doc_a"), col("doc_b"))
 
-  /** Converged label frames, memoized per (session, dir, τ, maxIter): the
-    * propagation loop's output is pair-graph-sized derived state (doc_id →
-    * cluster_id for pair-involved docs, localCheckpoint'ed so it is
-    * self-contained), and every downstream consumer — the clusters query
-    * itself, [[Pipeline.cleanCorpus]]'s canonical gate — needs the SAME
-    * fixpoint. Without this the iterative loop (a driver-sequenced chain
-    * of join+agg jobs that no plan-equality cache can dedupe) re-runs per
-    * consumer. Session-keyed: DataFrames are session-bound.
+  /** Converged label frames are DURABLE derived state ([[durablePairs]]
+    * lifecycle, tag = every constant the fixpoint depends on): the
+    * propagation loop is a driver-sequenced chain of join+agg jobs that
+    * no plan-equality cache can dedupe, so every downstream consumer —
+    * the clusters query itself, [[Pipeline.cleanCorpus]]'s canonical
+    * gate, and any later SESSION on a populated root — reads the same
+    * materialized (doc_id, cluster_id) frame instead of re-running the
+    * loop (at the 5M-doc corpus the cold loop re-mined 320M band rows:
+    * 382 s that a populated root now skips entirely).
     */
-  private val convergedLabels = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Double, Int), DataFrame]()
-
   def clusters(spark: SparkSession, dir: String, tau: Double = 0.5,
       maxIter: Int = 20): DataFrame = {
     val docs = documents(spark, dir).select(col("doc_id"))
-    val labels = convergedLabels.computeIfAbsent((spark, dir, tau, maxIter),
-      { _ => propagateLabels(spark, dir, tau, maxIter) })
+    val labels = durablePairs(spark, dir, s"labels-tau$tau-it$maxIter-K$K-B$B")(
+      propagateLabels(spark, dir, tau, maxIter))
     docs.join(labels.withColumnRenamed("cluster_id", "pair_cluster"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("pair_cluster"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
@@ -589,7 +553,10 @@ object Dedup {
   private def propagateLabels(spark: SparkSession, dir: String, tau: Double,
       maxIter: Int): DataFrame = {
     val pairs = clusterEdges(spark, dir, tau)
-    val sym = tracked(
+    // buildTracked: the symmetric edge frame only serves the propagation
+    // loop below, which always runs inside the durable-labels build —
+    // released the moment the label frame's write commits.
+    val sym = buildTracked(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     // The loop runs ONLY over pair-involved vertices — isolated docs can
@@ -661,15 +628,17 @@ object Dedup {
       .otherwise(transform(sequence(lit(1), size(th) - 2),
         i => pmod(element_at(th, i) * 4821 + element_at(th, i + 1) * 129 +
           element_at(th, i + 2), lit(SimhashMod))))
-    // tracked(): a HARD materialization barrier below any downstream
+    // buildTracked(): a HARD materialization barrier below any downstream
     // filter. PushDownPredicate substitutes aliases unconditionally, and a
     // predicate pushed into these projections inlines `th` into every
     // element_at of the gram lambda — re-tokenizing the document once per
     // gram ELEMENT ACCESS, O(tokens²) in interpreted string ops (measured:
     // turned the 500k-doc fingerprint map from seconds into 400+ s).
     // The cache also plays the old exploded-gram cache's role with 1 row
-    // per doc instead of 1 per gram instance.
-    tracked(graft.Tables.spread(docs)
+    // per doc instead of 1 per gram instance. Build-scratch scoped: the
+    // gram sets only feed the fingerprint map inside the durable simhash
+    // build (direct tool/spec callers fall back to the suite registry).
+    buildTracked(graft.Tables.spread(docs)
       .select(col("doc_id"), transform(toks(col("text")), tokHash).as("th"))
       .select(col("doc_id"), array_distinct(grams).as("gs")))
   }
@@ -698,17 +667,30 @@ object Dedup {
     * a chunk-equality bucket join finds all pairs without the quadratic
     * cross-join. Scale: same linear-candidates posture as LSH; correctness
     * is exact (the oracle recomputes identical fingerprints, see
-    * [[simhashBitConst]]).
+    * [[simhashBitConst]]). The chunk-collision pair frame (pre-threshold,
+    * with each pair's Hamming distance) is DURABLE derived state like the
+    * verified Jaccard pairs — a later session filters the materialized
+    * frame instead of re-fingerprinting the corpus.
     */
-  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    // tracked(): materialization barrier — the fingerprint map feeds the
-    // 4-chunk explode AND both sides of the bucket self-join; without the
-    // barrier CollapseProject inlines the whole tokenize→gram→fingerprint
-    // chain into the Generate and the join inputs, re-running it per
-    // emitted chunk row per side. (The former aggregate formulation was
-    // an implicit barrier; the narrow-map fingerprint needs an explicit
-    // one — same lesson as Text.contamination's tracked(wf).)
-    val fps = tracked(simhashFingerprints(documents(spark, dir)))
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    durablePairs(spark, dir, s"simhash-b$SimhashBits-c4")(simhashPairsPlan(spark, dir))
+      .filter(col("hamming") <= maxHamming)
+
+  /** The uncached fingerprint → chunk-bucket pipeline behind [[simhash]] —
+    * exposed (like [[lshVerifiedPlan]]) so the plan audit pins the
+    * chunk-join shape even when production answers from the durable frame.
+    */
+  private[graft] def simhashPairsPlan(spark: SparkSession, dir: String): DataFrame = {
+    // buildTracked(): materialization barrier — the fingerprint map feeds
+    // the 4-chunk explode AND both sides of the bucket self-join; without
+    // the barrier CollapseProject inlines the whole tokenize→gram→
+    // fingerprint chain into the Generate and the join inputs, re-running
+    // it per emitted chunk row per side. (The former aggregate formulation
+    // was an implicit barrier; the narrow-map fingerprint needs an
+    // explicit one — same lesson as Text.contamination's barrier.)
+    // Registered as build scratch: it only serves this pipeline, and the
+    // pipeline runs inside the durable-frame build.
+    val fps = buildTracked(simhashFingerprints(documents(spark, dir)))
     val chunks = fps.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
@@ -720,6 +702,5 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -105,6 +105,12 @@ object Text {
     */
   private val caches = new graft.CacheRegistry
   private def tracked(df: DataFrame): DataFrame = caches.tracked(df)
+  /** Build-scratch registration — see [[Dedup]]'s buildTracked: inside a
+    * [[graft.DerivedState]] build the frame is released when the build's
+    * write commits; outside one it lands in this suite's registry.
+    */
+  private def buildTracked(df: DataFrame): DataFrame =
+    graft.DerivedState.buildTracked(caches)(df)
 
   /** Unpersist every frame this suite has cached. */
   def clearCaches(): Unit = caches.clear()
@@ -174,7 +180,25 @@ object Text {
     * maxDf².
     */
   def contamination(spark: SparkSession, dir: String, k: Int = 12, w: Int = 8,
-      minShared: Int = 3, maxDf: Int = 20): DataFrame = {
+      minShared: Int = 3, maxDf: Int = 20): DataFrame =
+    // The aggregated fingerprint-sharing pair frame (pre-minShared, with
+    // both denominators) is DURABLE derived state — same lifecycle as the
+    // dedup pair frames: a later session (or a different minShared
+    // threshold) filters the materialized frame instead of
+    // re-fingerprinting and re-joining the corpus.
+    tracked(graft.DerivedState.materialized(spark, dir, s"contam-k$k-w$w-df$maxDf")(
+      contaminationPairsPlan(spark, dir, k, w, maxDf)))
+      .filter(col("shared_fps") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("shared_fps"),
+        round(col("shared_fps").cast("double") /
+          least(col("fps_a"), col("fps_b")).cast("double"), 4).as("overlap"))
+
+  /** The uncached winnow → df-cap → pair-join pipeline behind
+    * [[contamination]] — exposed so the plan audit pins the shape even
+    * when production answers from the durable frame.
+    */
+  private[graft] def contaminationPairsPlan(spark: SparkSession, dir: String,
+      k: Int, w: Int, maxDf: Int): DataFrame = {
     // The wf cache is a MATERIALIZATION BARRIER, not just reuse: the
     // downstream explode makes InferFiltersFromGenerate add a
     // `size(fps) > 0` predicate, and pushdown substitutes the alias and
@@ -182,8 +206,10 @@ object Text {
     // the scan filter — the expression then evaluates 2-3× per doc per
     // branch (observed in the physical plan). Caching the one-row-per-doc
     // fingerprint frame pins exactly ONE evaluation; inferred filters land
-    // on the cached `fps` attribute instead.
-    val wf = tracked(winnowFps(graft.Tables.spread(documents(spark, dir)), k, w))
+    // on the cached `fps` attribute instead. Build-scratch scoped: both
+    // frames only feed this pipeline, which normally runs inside the
+    // durable-frame build and is released when its write commits.
+    val wf = buildTracked(winnowFps(graft.Tables.spread(documents(spark, dir)), k, w))
     val f = wf.select(col("doc_id"), explode(col("fps")).as("fp"))
     // fps are per-doc distinct, so count(*) per fp IS document frequency.
     val rare = f.groupBy(col("fp")).agg(count(lit(1)).as("df"))
@@ -194,17 +220,13 @@ object Text {
     // is constant within a doc). One cached frame serves both self-join
     // sides; per-doc fps are bounded (~chars/w), so the doc_id window
     // partition cannot skew.
-    val kept = tracked(f.join(rare, "fp").withColumn("n_fps",
+    val kept = buildTracked(f.join(rare, "fp").withColumn("n_fps",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")))))
     kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"),
         min(col("a.n_fps")).as("fps_a"), min(col("b.n_fps")).as("fps_b"))
-      .filter(col("shared_fps") >= minShared)
-      .select(col("doc_a"), col("doc_b"), col("shared_fps"),
-        round(col("shared_fps").cast("double") /
-          least(col("fps_a"), col("fps_b")).cast("double"), 4).as("overlap"))
   }
 
   /** Corpus vocabulary stats: top-N word 3-grams by total frequency (NOT

@@ -113,10 +113,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("(?is)999999.*div 1000000".r.findFirstIn(plan).isDefined,
       s"integer-math prefix bound missing from the plan:\n${plan.take(1500)}")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
-    // Production must answer from the materialized pair frame, not re-mine.
+    // Production must answer from the materialized pair frame, not
+    // re-mine. The read-side assertion alone is vacuous (a regressed plan
+    // that re-mines still scans the corpus parquet), so ALSO assert the
+    // prod plan carries none of the mining operators: no gram hashing, no
+    // prefix-slice explode, no set aggregation.
     val prod = planOf(graft.operators.Dedup.ngramJaccard(spark, sfDir))
     assert(prod.contains("InMemoryTableScan") || prod.contains("FileScan parquet"),
       s"default-τ ngram must read the materialized pair frame:\n${prod.take(1500)}")
+    assert(!prod.contains("xxhash64") && !prod.contains("posexplode") &&
+      !prod.contains("collect_list"),
+      s"default-τ ngram must not re-mine candidates:\n${prod.take(2000)}")
   }
 
   test("dedup_ngram_jaccard sub-knee: lean naive join — no rank windows, no df payload") {
@@ -244,7 +251,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("text_contamination: native winnow expression, cached kept frame, no cartesian") {
     try {
-      val plan = planOf(graft.operators.Text.contamination(spark, sfDir))
+      // Audit the pipeline BEHIND the durable frame (production answers
+      // from the materialized pair parquet — pinned below), same
+      // convention as the dedup pair-path pins.
+      val plan = planOf(graft.operators.Text.contaminationPairsPlan(spark, sfDir, 12, 8, 20))
       assert(plan.toLowerCase.contains("winnowfingerprints"),
         "the fingerprint stage must run the codegen'd rolling-hash expression")
       assert(!plan.contains("aggregate(sequence") && !plan.contains("slice("),
@@ -253,6 +263,11 @@ class PlanAuditSpec extends SparkSpec {
         s"the self-join must read the cached kept frame, not recompute fingerprints:\n${plan.take(2000)}")
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         "pair generation must stay an fp equi-join")
+      // Production must answer from the materialized pair frame: no
+      // fingerprinting, no pair join — a filter over a scan.
+      val prod = planOf(graft.operators.Text.contamination(spark, sfDir))
+      assert(!prod.toLowerCase.contains("winnowfingerprints") && !prod.contains("Window"),
+        s"contamination must read the durable pair frame, not re-mine:\n${prod.take(2000)}")
     } finally graft.operators.Text.clearCaches() // a failed assert must not leak caches
   }
 

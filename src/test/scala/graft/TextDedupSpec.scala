@@ -197,29 +197,36 @@ class TextDedupSpec extends SparkSpec {
       Dedup.dedupDirOverride = Some(root.getPath)
       Dedup.resetDedupMemo()
       Dedup.clearCaches()
+      graft.operators.Text.clearCaches()
       val p1 = Dedup.minhashLsh(spark, sfDir, tau = 0.5).count()
       val x1 = Dedup.ngramJaccard(spark, sfDir).count() // prefix frame
-      val sub = root.listFiles().find(_.getName.contains("#K"))
-        .getOrElse(fail("durable pair-frame subdir missing"))
-      val subPrefix = root.listFiles().find(_.getName.contains("#prefix"))
-        .getOrElse(fail("durable prefix-pair subdir missing"))
-      assert(new java.io.File(sub, "_SUCCESS").isFile, "build must leave a _SUCCESS marker")
-      assert(new java.io.File(subPrefix, "_SUCCESS").isFile,
-        "prefix build must leave a _SUCCESS marker")
+      val s1 = Dedup.simhash(spark, sfDir).count()
+      val c1 = Dedup.clusters(spark, sfDir).count()
+      val t1 = graft.operators.Text.contamination(spark, sfDir).count()
+      def subDir(marker: String) = root.listFiles().find(_.getName.contains(marker))
+        .getOrElse(fail(s"durable $marker subdir missing"))
+      val subs = Seq("#K", "#prefix", "#simhash", "#labels", "#contam").map(subDir)
+      subs.foreach(d => assert(new java.io.File(d, "_SUCCESS").isFile,
+        s"build must leave a _SUCCESS marker in ${d.getName}"))
       def snap(d: java.io.File) = d.listFiles().map(f => f.getName -> f.lastModified()).toMap
-      val stamps = snap(sub); val stampsP = snap(subPrefix)
+      val stamps = subs.map(snap)
       // Fresh "session": memo + caches cleared, same durable root — reuse.
       Dedup.resetDedupMemo()
       Dedup.clearCaches()
+      graft.operators.Text.clearCaches()
       assert(Dedup.minhashLsh(spark, sfDir, tau = 0.5).count() == p1)
       assert(Dedup.ngramJaccard(spark, sfDir).count() == x1)
-      assert(snap(sub) == stamps, s"reused pair frame must not be rewritten:\n$stamps")
-      assert(snap(subPrefix) == stampsP,
-        s"reused prefix frame must not be rewritten:\n$stampsP")
+      assert(Dedup.simhash(spark, sfDir).count() == s1)
+      assert(Dedup.clusters(spark, sfDir).count() == c1)
+      assert(graft.operators.Text.contamination(spark, sfDir).count() == t1)
+      subs.zip(stamps).foreach { case (d, st) =>
+        assert(snap(d) == st, s"reused ${d.getName} frame must not be rewritten:\n$st")
+      }
     } finally {
       Dedup.dedupDirOverride = None
       Dedup.resetDedupMemo()
       Dedup.clearCaches()
+      graft.operators.Text.clearCaches()
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }
