@@ -41,6 +41,7 @@ object Bench {
   private def releaseAll(spark: SparkSession): Unit = {
     graft.operators.Dedup.clearCaches()
     graft.operators.Text.clearCaches()
+    graft.operators.Similarity.clearCaches()
     graft.streaming.CdcStream.dropSinks(spark)
   }
 

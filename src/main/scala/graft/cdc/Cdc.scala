@@ -25,7 +25,17 @@ import org.apache.spark.sql.functions._
 object Cdc {
   import graft.Tables.events
 
-  val NumChannels = 4
+  /** Channel cardinality (channel = pmod(user_id, NumChannels)). Default 4
+    * mirrors the testdata's pinned hash and every oracle SQL statement
+    * (`user_id % 4`); `SPARK_GRAFT_CHANNELS` overrides it for SCALE
+    * MEASUREMENTS ONLY — the per-channel in-order folds (msgpack packing,
+    * position logs, seek) parallelize exactly with channel cardinality
+    * (production Milvus runs hundreds of vchannels), so a wide-channel
+    * bench run measures that scaling on the same event volume. Never set
+    * it for a correctness (oracle) run: the SQL states the 4-channel rule.
+    */
+  val NumChannels: Int =
+    sys.env.get("SPARK_GRAFT_CHANNELS").map(_.toInt).getOrElse(4)
   // Control-plane surrogate cardinalities, shared by the batch ops, the
   // streaming variants, and (by value) the oracle SQL: tasks map 1:1 onto
   // their watched channel; collections are keyed coprime with the channel

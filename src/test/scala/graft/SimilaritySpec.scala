@@ -192,16 +192,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty, "corpus must exercise the duplicate path")
   }
 
-  test("dedup_semantic pair join: block-grid equi-join, per-task work bounded below cluster size") {
+  test("dedup_semantic pair join: size-routed — hash join for small clusters, grid for big") {
     val plan = planOf(Similarity.semanticDedup(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"within-cluster pairs must equi-join, never cartesian:\n$plan")
-    // The join key must carry the grid cell (gi, gj), not the cluster
-    // alone — a cluster-only key caps parallelism at nlist and gives every
-    // task |cluster|² pair work (round-10 verdict's skewed-key quadratic).
-    assert("(?i)join.*\\[cluster.*gi.*gj".r.findFirstIn(plan).isDefined ||
-      (plan.contains("gi") && plan.contains("gj")),
-      s"pair join must be keyed on (cluster, gi, gj):\n${plan.take(2000)}")
+    // Small clusters (bounded per-key work by the routing threshold) take
+    // a plain cluster-keyed SHUFFLED HASH self-join — one shuffle of each
+    // side, no sort of the corpus, no grid replication.
+    assert(plan.contains("ShuffledHashJoin"),
+      s"small-cluster route must be a shuffled hash join:\n${plan.take(2000)}")
+    // Oversized clusters still take the block grid: key (cluster, gi, gj)
+    // bounds per-task pair work by sub-block products however hot the
+    // cluster (round-10 verdict's skewed-key quadratic).
+    assert(plan.contains("gi") && plan.contains("gj"),
+      s"big-cluster route must keep the (cluster, gi, gj) grid:\n${plan.take(2000)}")
+    // Every branch reads the ONE cached slim index frame, not its own
+    // FileScan over the nlist cluster partition dirs.
+    assert(plan.contains("InMemoryRelation") || plan.contains("InMemoryTableScan"),
+      s"join branches must read the cached slim index frame:\n${plan.take(2000)}")
+  }
+
+  test("dedup_semantic routing: grid-forced and hash-routed results are identical") {
+    val default = Similarity.SemGridMinCluster
+    try {
+      val hashRouted = Similarity.semanticDedup(spark, sfDir).collect()
+        .map(_.toSeq).toSet
+      Similarity.SemGridMinCluster = 0L // every cluster takes the grid route
+      val gridForced = Similarity.semanticDedup(spark, sfDir).collect()
+        .map(_.toSeq).toSet
+      assert(hashRouted == gridForced,
+        "the two routes must produce the identical duplicate set")
+      assert(hashRouted.nonEmpty, "corpus must exercise the duplicate path")
+    } finally Similarity.SemGridMinCluster = default
   }
 
   test("dedup_semantic grid: per-task pair work is bounded by sub-block products") {
