@@ -21,24 +21,29 @@ object Pipeline {
   /** Canonical, quality- and language-gated corpus view: one row per
     * surviving doc with its gate evidence (lang guess, score, tokens).
     *
-    * Scale: clusters' labels are pair-graph sized; the quality/langid maps
-    * are narrow projections over the corpus scan; the three frames join on
-    * doc_id — co-partitioned after one hash shuffle each, with the gates
-    * pushed below the joins by Catalyst.
+    * Scale: clusters' labels are pair-graph sized; both gates (score and
+    * language) are computed in ONE narrow projection over ONE corpus scan
+    * — the earlier three-frame formulation scanned and tokenized the
+    * corpus once per gate and paid a second doc_id shuffle join to
+    * reunite columns that never left the same row (at 100 TB that is a
+    * whole extra pass over the lake). Codegen subexpression elimination
+    * evaluates the shared token split once per row across both gate
+    * expressions; the surviving rows then hash-join the canonical set —
+    * both sides corpus-scale, so a shuffle join (never broadcast) with
+    * the gate predicates already applied below it.
     */
   def cleanCorpus(spark: SparkSession, dir: String, tau: Double = 0.5,
       minScore: Double = 0.72): DataFrame = {
     val canon = Dedup.clusters(spark, dir, tau)
       .filter(col("is_canonical")).select(col("doc_id"))
-    val quality = Text.quality(spark, dir)
-      .select(col("doc_id"), col("score"), col("n_tokens"))
-    val lang = Text.langid(spark, dir)
-      .select(col("doc_id"), col("guess"))
-    canon.join(quality, Seq("doc_id"))
-      .join(lang, Seq("doc_id"))
-      .filter(col("score") >= minScore && col("guess") =!= "und")
-      .select(col("doc_id"), col("guess").as("lang_guess"),
-        col("score"), col("n_tokens"))
+    val gates = documents(spark, dir)
+      .select(col("doc_id"),
+        Text.guessCol(col("text")).as("lang_guess"),
+        Text.scoreCol(col("text")).as("score"),
+        size(Text.toks(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("score") >= minScore && col("lang_guess") =!= "und")
+    canon.join(gates, Seq("doc_id"))
+      .select(col("doc_id"), col("lang_guess"), col("score"), col("n_tokens"))
   }
 
   /** Sequence-packing audit — the data-loading step of LM training:

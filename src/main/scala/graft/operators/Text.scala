@@ -38,6 +38,22 @@ object Text {
           lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("re_tokens"),
         length(col("text")).cast("long").as("n_chars_m"))
 
+  /** Composite quality score of `text` — THE score definition, shared by
+    * [[quality]] and [[graft.operators.Pipeline.cleanCorpus]]'s single-scan
+    * gate projection (so the pipeline never re-states the formula).
+    */
+  private[operators] def scoreCol(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val uniq = size(array_distinct(t)).cast("double") / nTok
+    val stop = countIn(t, StopEn).cast("double") / nTok
+    val punct = (length(text) -
+      length(regexp_replace(text, "[.,;:!?]", ""))).cast("double") /
+      length(text).cast("double")
+    round(lit(0.4) * uniq + lit(0.4) * (lit(1.0) - stop) +
+      lit(0.2) * (lit(1.0) - punct), 4)
+  }
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, token
     * uniqueness, and a composite score — the standard pre-training filters.
     */
@@ -57,8 +73,28 @@ object Text {
         round(uniq, 4).as("uniq_ratio"),
         round(stop, 4).as("stop_ratio"),
         round(punct, 4).as("punct_ratio"),
-        round(lit(0.4) * uniq + lit(0.4) * (lit(1.0) - stop) +
-          lit(0.2) * (lit(1.0) - punct), 4).as("score"))
+        scoreCol(col("text")).as("score"))
+  }
+
+  /** Language guess of `text` — THE langid definition (stopword-profile
+    * argmax, deterministic tie-break en > de > es > fr > zh, 'und' when all
+    * profiles are zero), shared by [[langid]] and
+    * [[graft.operators.Pipeline.cleanCorpus]]'s single-scan gate projection.
+    */
+  private[operators] def guessCol(text: Column): Column = {
+    val t = toks(text)
+    val sEn = countIn(t, StopEn)
+    val sDe = countIn(t, Seq("der", "die", "und", "das", "ist"))
+    val sEs = countIn(t, Seq("el", "los", "las", "y", "es"))
+    val sFr = countIn(t, Seq("le", "la", "et", "les", "des"))
+    val sZh = countIn(t, Seq("de", "shi", "le", "bu", "wo"))
+    val mx = greatest(sEn, sDe, sEs, sFr, sZh)
+    when(mx === 0, lit("und"))
+      .when(sEn === mx, lit("en"))
+      .when(sDe === mx, lit("de"))
+      .when(sEs === mx, lit("es"))
+      .when(sFr === mx, lit("fr"))
+      .otherwise(lit("zh"))
   }
 
   /** Language ID: stopword-profile scoring per candidate language, argmax
@@ -66,24 +102,12 @@ object Text {
     * profiles score zero. Compared against the labeled `lang` column.
     */
   def langid(spark: SparkSession, dir: String): DataFrame = {
-    val t = toks(col("text"))
-    val sEn = countIn(t, StopEn)
-    val sDe = countIn(t, Seq("der", "die", "und", "das", "ist"))
-    val sEs = countIn(t, Seq("el", "los", "las", "y", "es"))
-    val sFr = countIn(t, Seq("le", "la", "et", "les", "des"))
-    val sZh = countIn(t, Seq("de", "shi", "le", "bu", "wo"))
-    val mx = greatest(sEn, sDe, sEs, sFr, sZh)
-    val guess = when(mx === 0, lit("und"))
-      .when(sEn === mx, lit("en"))
-      .when(sDe === mx, lit("de"))
-      .when(sEs === mx, lit("es"))
-      .when(sFr === mx, lit("fr"))
-      .otherwise(lit("zh"))
+    val guess = guessCol(col("text"))
     documents(spark, dir)
       .select(
         col("doc_id"), col("lang").as("label_lang"), guess.as("guess"),
         (guess === col("lang")).as("is_match"),
-        sEn.cast("long").as("s_en"))
+        countIn(toks(col("text")), StopEn).cast("long").as("s_en"))
   }
 
   /** Normalized-content fingerprint: md5 over lower-cased, whitespace-

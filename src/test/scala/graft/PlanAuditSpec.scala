@@ -271,6 +271,52 @@ class PlanAuditSpec extends SparkSpec {
     } finally graft.operators.Text.clearCaches() // a failed assert must not leak caches
   }
 
+  test("spread(): estimate-gated — adds NO exchange once the scan is already well-split") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // Tiny corpus, default split size: the scan is one split, so spread
+      // MUST repartition (the round-5 one-core O(n²) stage guard)...
+      val small = planOf(Tables.spread(docs))
+      assert(small.contains("Exchange") || small.contains("roundrobin"),
+        s"an under-split scan must be spread to default parallelism:\n${small.take(1200)}")
+      // ...but when the estimate says the scan already yields >= par
+      // splits (every real-data caller — forced here by shrinking the
+      // split size under the tiny file), spread must be the IDENTITY:
+      // its scaladoc claims it never adds a shuffle at scale, and the
+      // docs1000x narrow-map queries are scan-bound on exactly that
+      // promise.
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+      val big = planOf(Tables.spread(docs))
+      assert(!big.contains("Exchange"),
+        s"spread() must be a no-op on a well-split scan, yet added an exchange:\n${big.take(1200)}")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("pipeline_clean_corpus: both gates in ONE corpus scan, predicates below the canonical join") {
+    try {
+      val plan = planOf(graft.operators.Pipeline.cleanCorpus(spark, sfDir))
+      // One TEXT-reading corpus scan total: quality score AND language
+      // guess evaluate in the same projection (the pre-round-13
+      // three-frame shape paid a scan + tokenization pass PER gate plus
+      // an extra doc_id shuffle join — at 100 TB a whole second pass over
+      // the lake). clusters() contributes a doc_id-only column-pruned
+      // scan for the canonical universe — cheap, and pinned so: no OTHER
+      // scan may read the text column.
+      val textScans = plan.linesIterator.count(l =>
+        l.contains("documents.parquet") && l.contains("text:string"))
+      assert(textScans == 1,
+        s"gates must share one text-reading corpus scan, found $textScans:\n${plan.take(2000)}")
+      // The gate predicates must run below the join with the canonical
+      // set (filter-then-join), and the join must stay an equi-join.
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    } finally {
+      graft.operators.Dedup.clearCaches()
+      graft.operators.Text.clearCaches()
+    }
+  }
+
   test("cdc_channel_mapping: pure metadata — the event stream shuffles once for the distinct, never for the grid") {
     val plan = planOf(Cdc.channelMapping(spark, sfDir))
     assert(plan.contains("partial_"), "channel distinct must combine map-side")
