@@ -299,3 +299,131 @@ case class NearestCentroidCoarse(left: Expression, right: Expression,
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Within-cluster SemDeDup pair statistics as ONE compute kernel per
+  * cluster: input is the cluster's members `array<struct<vec_id, embedding,
+  * nrm>>` (from a `collect_list` group), output is one struct per DUPLICATE
+  * member — (id_b, n_earlier, max_cos) over its lower-id cluster-mates at
+  * rounded cosine ≥ τ.
+  *
+  * Why a kernel and not the pair equi-join: the join materializes every
+  * candidate pair as a row with BOTH embeddings copied into it (~512 B per
+  * pair) — measured ~1.1 µs·core per pair at 2M vectors against ~60 ns for
+  * the dot product itself, a ~20× row-machinery tax on an O(Σ|c|²)
+  * pair count that dominates the whole operator. Here each cluster's
+  * embeddings are unpacked ONCE into primitive arrays and the m²/2 dots
+  * run in a tight loop — no pair rows, no copies, no shuffle of pair
+  * intermediates. Per-task memory is the cluster itself (≤ the routing
+  * threshold × row width; the block grid keeps handling oversized
+  * clusters).
+  *
+  * Parity with the Column formulation (and the DuckDB oracle): the dot is
+  * the same sequential double fold as [[FloatDotProduct]], the score the
+  * same `dot / (nrm_a · nrm_b)` division order, and the τ gate applies to
+  * `round(cos, 4)` computed exactly as Spark's `Round(HALF_UP)` on doubles
+  * (`java.math.BigDecimal.valueOf(d).setScale(4, HALF_UP)`). The rounding
+  * runs only inside a `τ - 1e-4` boundary band — everything below cannot
+  * round up to ≥ τ (4-decimal rounding moves a double by ≤ 5·10⁻⁵ + ulp).
+  */
+case class SemanticPairStats(child: Expression, tau: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_b", LongType, nullable = false),
+    StructField("n_earlier", LongType, nullable = false),
+    StructField("max_cos", DoubleType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _) if s.length == 3 &&
+        s(0).dataType == LongType &&
+        s(1).dataType.isInstanceOf[ArrayType] &&
+        s(2).dataType == DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"SemanticPairStats needs array<struct<long, array<float>, double>>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    SemanticPairStats.stats(a.asInstanceOf[ArrayData], tau)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SemanticPairStats.stats($a, $tau);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SemanticPairStats {
+  /** Rounded-≥-τ gate: `round(cos, 4) >= tau` with Spark's double Round
+    * semantics, evaluated lazily — the BigDecimal path runs only for pairs
+    * inside the boundary band (i.e. plausible duplicates).
+    */
+  private def round4(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Shared by interpreted eval and codegen. Members are sorted by vec_id
+    * inside the kernel (cluster collect order is shuffle-dependent), so the
+    * result is a pure function of the member SET.
+    */
+  def stats(members: ArrayData, tau: Double): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val m = members.numElements()
+    val ids = new Array[Long](m)
+    val embs = new Array[Array[Float]](m)
+    val nrms = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val r = members.getStruct(i, 3)
+      ids(i) = r.getLong(0)
+      embs(i) = r.getArray(1).toFloatArray()
+      nrms(i) = r.getDouble(2)
+      i += 1
+    }
+    // argsort by vec_id ascending — j's "earlier" mates are exactly the
+    // sorted prefix before j.
+    val ord = Array.range(0, m).sortBy(ids)
+    val band = tau - 1e-4
+    val nEarlier = new Array[Long](m) // indexed by sorted position
+    val maxCos = Array.fill(m)(Double.NegativeInfinity)
+    var pj = 1
+    while (pj < m) {
+      val j = ord(pj)
+      val ej = embs(j)
+      val nj = nrms(j)
+      var pi = 0
+      while (pi < pj) {
+        val a = embs(ord(pi))
+        val n = math.min(a.length, ej.length)
+        var acc = 0.0
+        var k = 0
+        while (k < n) { acc += a(k).toDouble * ej(k).toDouble; k += 1 }
+        val cos = acc / (nrms(ord(pi)) * nj)
+        if (cos >= band) {
+          val r = round4(cos)
+          if (r >= tau) {
+            nEarlier(pj) += 1L
+            if (r > maxCos(pj)) maxCos(pj) = r
+          }
+        }
+        pi += 1
+      }
+      pj += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    pj = 1
+    while (pj < m) {
+      if (nEarlier(pj) > 0) {
+        val row = new GenericInternalRow(3)
+        row.setLong(0, ids(ord(pj)))
+        row.setLong(1, nEarlier(pj))
+        row.setDouble(2, maxCos(pj))
+        out += row
+      }
+      pj += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -75,4 +75,12 @@ object Vec {
       cmeans, cmnorms, members, probe,
       cents.map(_._1), cents.map(_._2), cents.map(_._3)))
   }
+
+  /** Per-cluster SemDeDup duplicate stats over a collect_list'd member
+    * array `array<struct<vec_id, embedding, nrm>>` — the within-cluster
+    * all-pairs scoring as ONE primitive-loop kernel instead of a pair
+    * join ([[SemanticPairStats]]).
+    */
+  def semanticPairStats(members: Column, tau: Double): Column =
+    GraftSql.column(SemanticPairStats(GraftSql.expression(members), tau))
 }

@@ -690,21 +690,32 @@ object Similarity {
     val sizes = slim.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
     val n = slim.join(broadcast(sizes), "cluster")
     // SMALL clusters (≤ SemGridMinCluster — with k ∝ n, essentially all of
-    // them): a plain cluster-keyed self-join. Each row shuffles ONCE per
-    // side (the grid replicated every wide row ~NB/2× per side), and the
-    // SHUFFLE_HASH hint keeps the build a hash map — sort-merge would sort
-    // both full corpus sides. Per-key pair work is capped at T²/2 by the
-    // routing threshold, so no key can go quadratic.
+    // them): ONE shuffle gathers each cluster's members into an array and
+    // the m²/2 within-cluster dots run inside the [[graft.functions
+    // .SemanticPairStats]] kernel — a primitive loop over the cluster's
+    // unpacked embeddings. The earlier self-join shape materialized every
+    // candidate pair as a row carrying BOTH embeddings (~512 B copied per
+    // pair — measured ~20× the cost of the dot itself at 2M vectors); the
+    // kernel keeps the pair loop entirely task-local, so the operator's
+    // cost is the Σ|c|²/2 float math it actually owes plus one corpus
+    // shuffle. Per-task memory is one cluster's members, capped by the
+    // routing threshold; rounding parity with the grid route (and the
+    // DuckDB oracle) is spec-pinned by the forced-grid equivalence test.
     val small = n.filter(col("csize") <= SemGridMinCluster)
-    val sa = small.select(col("cluster"), col("vec_id").as("id_a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val sb = small.select(col("cluster"), col("vec_id").as("id_b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val smallPairs = sa.join(sb.hint("SHUFFLE_HASH"), Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("cluster"), col("id_b"),
-        round(Vec.cosinePrenorm(col("ea"), col("eb"), col("na"), col("nb")), 4).as("cos"))
-      .filter(col("cos") >= tau)
+    val smallStats = small
+      .select(col("cluster"),
+        struct(col("vec_id"), col("embedding"), col("nrm")).as("mrow"))
+      .groupBy(col("cluster"))
+      .agg(collect_list(col("mrow")).as("ms"))
+      // explode_OUTER: plain explode lets InferFiltersFromGenerate slip a
+      // `size(kernel(ms)) > 0` filter under the Generate, re-running the
+      // whole kernel a second time per cluster; outer generates a null row
+      // for duplicate-free clusters instead, filtered right after.
+      .select(col("cluster"),
+        explode_outer(Vec.semanticPairStats(col("ms"), tau)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("s.id_b").as("vec_id"), col("cluster"),
+        col("s.n_earlier").as("n_earlier"), col("s.max_cos").as("max_cos"))
     // BIG clusters: the block grid — same cell-ownership scheme as
     // pairwiseDups, per cluster: a-side owns (blk, q) for q >= blk, b-side
     // (p, blk) for p <= blk — every unordered sub-block pair of a cluster
@@ -730,14 +741,16 @@ object Similarity {
       .select(col("cluster"), greatest(col("id_a"), col("id_b")).as("id_b"),
         round(Vec.cosinePrenorm(col("ea"), col("eb"), col("na"), col("nb")), 4).as("cos"))
       .filter(col("cos") >= tau)
-    // Every cluster takes exactly one route, so the union is disjoint and
-    // the pair set identical to the single-grid formulation.
-    smallPairs.unionAll(bigPairs)
+    val bigStats = bigPairs
       .groupBy(col("id_b"))
       .agg(max(col("cluster")).as("cluster"),
         count(lit(1)).as("n_earlier"), max(col("cos")).as("max_cos"))
       .select(col("id_b").as("vec_id"), col("cluster"),
         col("n_earlier"), col("max_cos"))
+    // Every cluster takes exactly one route (and every vector lives in
+    // exactly one cluster), so both sides are already final per-vector
+    // stats and the union is disjoint — no re-aggregation needed.
+    smallStats.unionAll(bigStats)
   }
 
   /** One Lloyd refinement iteration over the IVF assignment — the "train

@@ -192,15 +192,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty, "corpus must exercise the duplicate path")
   }
 
-  test("dedup_semantic pair join: size-routed — hash join for small clusters, grid for big") {
+  test("dedup_semantic: size-routed — member-gather kernel for small clusters, grid for big") {
     val plan = planOf(Similarity.semanticDedup(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
-      s"within-cluster pairs must equi-join, never cartesian:\n$plan")
-    // Small clusters (bounded per-key work by the routing threshold) take
-    // a plain cluster-keyed SHUFFLED HASH self-join — one shuffle of each
-    // side, no sort of the corpus, no grid replication.
-    assert(plan.contains("ShuffledHashJoin"),
-      s"small-cluster route must be a shuffled hash join:\n${plan.take(2000)}")
+      s"within-cluster pairs must never go cartesian:\n$plan")
+    // Small clusters (bounded per-key work by the routing threshold):
+    // ONE shuffle gathers members per cluster, the m²/2 dots run inside
+    // the SemanticPairStats kernel — no pair rows, no embedding copies.
+    assert(plan.toLowerCase.contains("semanticpairstats"),
+      s"small-cluster route must run the native pair-stats kernel:\n${plan.take(2000)}")
+    assert(plan.contains("collect_list"),
+      s"small-cluster route must gather members with ONE shuffle:\n${plan.take(2000)}")
+    // The kernel must appear in the Generate only — a plain explode lets
+    // InferFiltersFromGenerate re-run it per cluster inside an inferred
+    // size()>0 filter (the r5 double-eval pitfall).
+    val kernelEvals = "(?i)semanticpairstats".r.findAllIn(plan).length
+    assert(kernelEvals <= 2, // Generate prints input expr + generator output
+      s"kernel must evaluate once per cluster, found $kernelEvals mentions:\n${plan.take(2000)}")
+    assert(!plan.contains("size(semanticpairstats"),
+      s"no inferred size() filter may re-run the kernel:\n${plan.take(2000)}")
     // Oversized clusters still take the block grid: key (cluster, gi, gj)
     // bounds per-task pair work by sub-block products however hot the
     // cluster (round-10 verdict's skewed-key quadratic).
