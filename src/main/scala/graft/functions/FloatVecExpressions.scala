@@ -355,13 +355,26 @@ case class SemanticPairStats(child: Expression, tau: Double)
 }
 
 object SemanticPairStats {
-  /** Rounded-≥-τ gate: `round(cos, 4) >= tau` with Spark's double Round
-    * semantics, evaluated lazily — the BigDecimal path runs only for pairs
-    * inside the boundary band (i.e. plausible duplicates).
+  /** `round(d, 4)` with Spark's double Round semantics (HALF_UP over the
+    * shortest-decimal value). The BigDecimal formulation Spark itself runs
+    * costs a Double.toString per call — jstack'd as the DOMINANT per-pair
+    * cost at the 20M-vector corpus, where clusters are replica blobs and
+    * nearly every pair qualifies. Fast path: k = ⌊d·10⁴ + 0.5⌋ is exact
+    * for |d| ≤ 1 (cosines), and `k / 10000.0` is the same nearest-double
+    * as BigDecimal's `.doubleValue()` of the identical decimal k·10⁻⁴.
+    * The two can only disagree when d·10⁴ sits within double error of a
+    * half-integer — a ±10⁻⁸ band (shortest-decimal repr vs the product's
+    * ulp), where the exact BigDecimal path decides. Non-positive d also
+    * falls back (⌊·+0.5⌋ is HALF_UP only for positives).
     */
-  private def round4(d: Double): Double =
-    java.math.BigDecimal.valueOf(d)
-      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  private[graft] def round4(d: Double): Double = {
+    val t = d * 10000.0
+    val f = t - math.floor(t)
+    if (d <= 0 || math.abs(f - 0.5) < 1e-8)
+      java.math.BigDecimal.valueOf(d)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    else math.floor(t + 0.5) / 10000.0
+  }
 
   /** Shared by interpreted eval and codegen. Members are sorted by vec_id
     * inside the kernel (cluster collect order is shuffle-dependent), so the
@@ -372,13 +385,20 @@ object SemanticPairStats {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val m = members.numElements()
     val ids = new Array[Long](m)
-    val embs = new Array[Array[Float]](m)
+    // Embeddings widen to double[] ONCE per member (float→double is exact,
+    // so the fold matches [[FloatDotProduct]] bit for bit) — m·d upfront
+    // conversions buy m²/2·d inner-loop iterations that are pure FMA.
+    val embs = new Array[Array[Double]](m)
     val nrms = new Array[Double](m)
     var i = 0
     while (i < m) {
       val r = members.getStruct(i, 3)
       ids(i) = r.getLong(0)
-      embs(i) = r.getArray(1).toFloatArray()
+      val fa = r.getArray(1).toFloatArray()
+      val da = new Array[Double](fa.length)
+      var q = 0
+      while (q < fa.length) { da(q) = fa(q).toDouble; q += 1 }
+      embs(i) = da
       nrms(i) = r.getDouble(2)
       i += 1
     }
@@ -399,7 +419,7 @@ object SemanticPairStats {
         val n = math.min(a.length, ej.length)
         var acc = 0.0
         var k = 0
-        while (k < n) { acc += a(k).toDouble * ej(k).toDouble; k += 1 }
+        while (k < n) { acc += a(k) * ej(k); k += 1 }
         val cos = acc / (nrms(ord(pi)) * nj)
         if (cos >= band) {
           val r = round4(cos)

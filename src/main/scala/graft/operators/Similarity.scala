@@ -651,16 +651,21 @@ object Similarity {
     math.max(SemMinNlist, math.ceil(n.toDouble / SemClusterTarget).toInt)
 
   /** Cluster size above which [[semanticDedup]] routes a cluster through
-    * the NB block grid instead of the plain cluster-keyed self-join. With
-    * k ∝ n (SemClusterTarget) nearly every cluster sits at ~1250 vectors —
-    * far below this — so the grid's ~NB/2× wide-row replication is paid
-    * ONLY by genuinely oversized clusters, the same small/big routing as
-    * Dedup's LSH chunk grid. At the threshold a single join-key group is
-    * ≤ T²/2 ≈ 12.5M cosine pairs — bounded single-task work. A spec seam
-    * (var) lets tests force every cluster through the grid route and pin
-    * the two routes' pair sets identical.
+    * the NB block grid instead of the member-gather kernel. The kernel's
+    * single-task ceiling is T²/2 pair dots — at 20,000 that is ≤ 200M
+    * pairs ≈ low tens of seconds, an acceptable largest task — so the
+    * grid's per-pair row machinery (and Spark round()'s Double.toString +
+    * BigDecimal per pair — jstack'd as the dominant grid cost at 20M
+    * vectors) is paid ONLY by genuinely pathological hot clusters, where
+    * the grid's bounded-per-task-memory guarantee is worth it. The
+    * first kernel cut used 5000 — at the 20M corpus the real size
+    * distribution (median 451, p90 6210, max 6955) put 93% of all pair
+    * work ABOVE that threshold, i.e. back on the grid; thresholds must
+    * clear the corpus's natural hot-cluster tail, not the mean. A spec
+    * seam (var) lets tests force every cluster through the grid route and
+    * pin the two routes' results identical.
     */
-  private[graft] var SemGridMinCluster = 5000L
+  private[graft] var SemGridMinCluster = 20000L
 
   /** Session memo of [[semanticDedup]]'s slim cached index reads, keyed by
     * (session, corpus dir, nlist): re-invocations (bench pass-min, repeated

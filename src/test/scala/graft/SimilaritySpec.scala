@@ -222,6 +222,26 @@ class SimilaritySpec extends SparkSpec {
       s"join branches must read the cached slim index frame:\n${plan.take(2000)}")
   }
 
+  test("kernel round4 matches Spark's double round(_, 4) exactly") {
+    // The kernel's fast-path rounding must agree with Spark's
+    // BigDecimal(HALF_UP) semantics on every double — sweep a dense
+    // deterministic grid plus adversarial half-boundary values (where the
+    // fast path must defer to the exact path).
+    val spark2 = spark
+    import spark2.implicits._
+    val adversarial = Seq(0.44995, 0.45005, 0.12345, 0.999949999999,
+      0.99995, 0.5 + 5e-5, 1.0, 0.0001, 0.00004999999, -0.44995, -0.45005)
+    val grid = (0 until 20000).map(i => -1.0 + i * 1.0001e-4) ++
+      (0 until 1000).map(i => i * 1e-4 + 5e-5) ++ adversarial
+    val sparkRounded = grid.toDF("d")
+      .select(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("d"), 4)).as[Double].collect()
+    grid.zip(sparkRounded).foreach { case (d, expect) =>
+      val got = graft.functions.SemanticPairStats.round4(d)
+      assert(got == expect, s"round4($d) = $got, Spark round = $expect")
+    }
+  }
+
   test("dedup_semantic routing: grid-forced and hash-routed results are identical") {
     val default = Similarity.SemGridMinCluster
     try {
