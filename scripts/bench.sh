@@ -20,11 +20,16 @@ JOPTS="--add-opens=java.base/java.lang=ALL-UNNAMED
 --add-opens=java.base/sun.security.action=ALL-UNNAMED
 --add-opens=java.base/sun.util.calendar=ALL-UNNAMED
 -Djdk.reflect.useDirectMethodHandle=false"
-# Shuffle scratch + temp on tmpfs: this box's BUFFERED disk writes run at
-# ~16 MB/s (direct IO 250+ MB/s — pathological writeback throttling), which
-# turns every shuffle-heavy stage into an IO crawl. tmpfs measured 141 MB/s.
-# The scratch is deleted when the run exits.
-SCRATCH=$(mktemp -d /dev/shm/graft-bench-XXXX)
+# Shuffle scratch + temp default to tmpfs: the round-12 box's BUFFERED disk
+# writes ran at ~16 MB/s (pathological writeback throttling), which turned
+# every shuffle-heavy stage into an IO crawl; tmpfs measured 141 MB/s.
+# CAVEAT — tmpfs is RAM: a shuffle-heavy build (the 5M-doc banding agg
+# writes tens of GB of scratch) plus a ${BENCH_XMX:-96g} heap can exceed
+# physical memory and get the JVM kernel-killed (observed round 13, exit
+# 137). On a box with healthy buffered writes, set BENCH_SCRATCH_ROOT to a
+# disk path for those runs — disk scratch is reclaimable page cache, not
+# pinned RAM. The scratch is deleted when the run exits.
+SCRATCH=$(mktemp -d "${BENCH_SCRATCH_ROOT:-/dev/shm}/graft-bench-XXXX")
 trap 'rm -rf "$SCRATCH"' EXIT
 export SPARK_LOCAL_DIRS="$SCRATCH"
 # Aggressive periodic GC: shuffle files are deleted by the ContextCleaner
