@@ -31,7 +31,10 @@ JOPTS="--add-opens=java.base/java.lang=ALL-UNNAMED
 # pinned RAM. The scratch is deleted when the run exits.
 SCRATCH=$(mktemp -d "${BENCH_SCRATCH_ROOT:-/dev/shm}/graft-bench-XXXX")
 trap 'rm -rf "$SCRATCH"' EXIT
-export SPARK_LOCAL_DIRS="$SCRATCH"
+# BENCH_LOCAL_DIRS (comma-separated) spreads shuffle scratch across several
+# devices — e.g. tmpfs + disk — for builds whose peak scratch exceeds any
+# single one (Spark round-robins blocks across local dirs).
+export SPARK_LOCAL_DIRS="${BENCH_LOCAL_DIRS:-$SCRATCH}"
 # Aggressive periodic GC: shuffle files are deleted by the ContextCleaner
 # only after the shuffle dependency is GC'd — with tmpfs scratch those
 # dead files are RAM, so the default 30-min cadence can OOM a long pass.
