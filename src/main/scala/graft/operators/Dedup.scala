@@ -662,19 +662,35 @@ object Dedup {
           org.apache.spark.sql.GraftSql.expression(col("gs")),
           SimhashBits, SimhashMod)).as("simhash"))
 
+  /** Hamming ceiling of the DURABLE simhash pair frame: collision pairs
+    * above it are random 16-bit-chunk coincidences, not near-dups — at the
+    * 5M-doc corpus the uncapped frame materialized 1.49B rows / 9.3 GB
+    * (hamming up to 45) of which only the ≤-cap sliver ever answers a
+    * query (`maxHamming` defaults to 3; the pigeonhole guarantee itself
+    * only covers ≤ 3 with 4 chunks). Queries above the cap fall back to
+    * the direct pipeline (and keep exact results — the chunk join finds
+    * every pair with SOME equal chunk regardless of hamming).
+    */
+  private[graft] val SimhashDurableMaxHamming = 8
+
   /** SimHash near-dup pairs with Hamming distance ≤ k. Pigeonhole banding:
     * 4 chunks of ~16 bits — Hamming ≤ 3 ⇒ at least one chunk identical, so
     * a chunk-equality bucket join finds all pairs without the quadratic
     * cross-join. Scale: same linear-candidates posture as LSH; correctness
     * is exact (the oracle recomputes identical fingerprints, see
-    * [[simhashBitConst]]). The chunk-collision pair frame (pre-threshold,
-    * with each pair's Hamming distance) is DURABLE derived state like the
-    * verified Jaccard pairs — a later session filters the materialized
-    * frame instead of re-fingerprinting the corpus.
+    * [[simhashBitConst]]). The ≤-[[SimhashDurableMaxHamming]] collision
+    * pair frame (with each pair's Hamming distance) is DURABLE derived
+    * state like the verified Jaccard pairs — a later session filters the
+    * materialized frame instead of re-fingerprinting the corpus.
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
-    durablePairs(spark, dir, s"simhash-b$SimhashBits-c4")(simhashPairsPlan(spark, dir))
-      .filter(col("hamming") <= maxHamming)
+    if (maxHamming <= SimhashDurableMaxHamming)
+      durablePairs(spark, dir,
+        s"simhash-b$SimhashBits-c4-h$SimhashDurableMaxHamming")(
+        simhashPairsPlan(spark, dir)
+          .filter(col("hamming") <= SimhashDurableMaxHamming))
+        .filter(col("hamming") <= maxHamming)
+    else simhashPairsPlan(spark, dir).filter(col("hamming") <= maxHamming)
 
   /** The uncached fingerprint → chunk-bucket pipeline behind [[simhash]] —
     * exposed (like [[lshVerifiedPlan]]) so the plan audit pins the
@@ -696,11 +712,23 @@ object Dedup {
         struct(lit(c).as("chunk"),
           shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ck"))): _*)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.chunk"), col("e.ck"))
+    // A pair colliding on SEVERAL chunks must still emit exactly once —
+    // but never through a pair-grain distinct(): at 5M docs the candidate
+    // set is ~1.5B rows and the distinct's exchange dominated the build
+    // (519 s measured). Instead each pair is owned by its FIRST matching
+    // chunk (lowest zero 16-bit field of the XOR), a per-row filter the
+    // candidates stream through without ever shuffling pair rows.
+    val z = col("x.simhash").bitwiseXOR(col("y.simhash"))
+    val firstMatchingChunk =
+      when(z.bitwiseAND(lit(0xFFFFL)) === 0, lit(0))
+        .when(shiftrightunsigned(z, 16).bitwiseAND(lit(0xFFFFL)) === 0, lit(1))
+        .when(shiftrightunsigned(z, 32).bitwiseAND(lit(0xFFFFL)) === 0, lit(2))
+        .otherwise(lit(3))
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.chunk") === firstMatchingChunk)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
-      .distinct()
   }
 }
