@@ -36,13 +36,16 @@ object Pipeline {
       minScore: Double = 0.72): DataFrame = {
     val canon = Dedup.clusters(spark, dir, tau)
       .filter(col("is_canonical")).select(col("doc_id"))
-    val gates = documents(spark, dir)
-      .select(col("doc_id"),
-        Text.guessCol(col("text")).as("lang_guess"),
-        Text.scoreCol(col("text")).as("score"),
-        size(Text.toks(col("text"))).cast("long").as("n_tokens"))
+    // Both gates evaluate inside ONE native kernel pass per doc
+    // ([[graft.functions.TextGates]] — parity with Text.scoreCol/guessCol
+    // spec-pinned): the HOF formulation's interpreted lambdas measured
+    // ~25 s of the pipeline's ~26 s at 5M docs. The kernel frame is
+    // cached as a materialization barrier so predicate pushdown cannot
+    // sink the score/guess gates below the projection and re-run the
+    // kernel once per predicate (the contamination lesson).
+    val g = Text.gateFrame(spark, dir)
       .filter(col("score") >= minScore && col("lang_guess") =!= "und")
-    canon.join(gates, Seq("doc_id"))
+    canon.join(g, Seq("doc_id"))
       .select(col("doc_id"), col("lang_guess"), col("score"), col("n_tokens"))
   }
 

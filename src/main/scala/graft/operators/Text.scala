@@ -18,7 +18,7 @@ object Text {
   import graft.Tables._
 
   /** Whitespace tokens of the lower-cased, trimmed text. */
-  private[operators] def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+  private[graft] def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
 
   /** English-ish stopword set shared with the quality score and langid. */
   private val StopEn = Seq("the", "a", "and", "of", "is")
@@ -42,7 +42,7 @@ object Text {
     * [[quality]] and [[graft.operators.Pipeline.cleanCorpus]]'s single-scan
     * gate projection (so the pipeline never re-states the formula).
     */
-  private[operators] def scoreCol(text: Column): Column = {
+  private[graft] def scoreCol(text: Column): Column = {
     val t = toks(text)
     val nTok = size(t).cast("double")
     val uniq = size(array_distinct(t)).cast("double") / nTok
@@ -81,7 +81,7 @@ object Text {
     * profiles are zero), shared by [[langid]] and
     * [[graft.operators.Pipeline.cleanCorpus]]'s single-scan gate projection.
     */
-  private[operators] def guessCol(text: Column): Column = {
+  private[graft] def guessCol(text: Column): Column = {
     val t = toks(text)
     val sEn = countIn(t, StopEn)
     val sDe = countIn(t, Seq("der", "die", "und", "das", "ist"))
@@ -96,6 +96,20 @@ object Text {
       .when(sFr === mx, lit("fr"))
       .otherwise(lit("zh"))
   }
+
+  /** The (doc_id, lang_guess, score, n_tokens) gate frame for
+    * [[Pipeline.cleanCorpus]]: one [[graft.functions.TextGates]] kernel
+    * pass per doc, cached — the cache is both the warm-reuse surface and
+    * a materialization barrier against predicate pushdown re-running the
+    * kernel per gate predicate.
+    */
+  private[graft] def gateFrame(spark: SparkSession, dir: String): DataFrame =
+    tracked(documents(spark, dir)
+      .select(col("doc_id"), org.apache.spark.sql.GraftSql.column(
+        graft.functions.TextGates(
+          org.apache.spark.sql.GraftSql.expression(col("text")))).as("g"))
+      .select(col("doc_id"), col("g.guess").as("lang_guess"),
+        col("g.score").as("score"), col("g.n_tokens").as("n_tokens")))
 
   /** Language ID: stopword-profile scoring per candidate language, argmax
     * with a deterministic tie-break (en > de > es > fr > zh), 'und' when all

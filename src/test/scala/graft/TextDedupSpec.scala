@@ -4,6 +4,48 @@ import graft.operators.{Dedup, Text}
 
 class TextDedupSpec extends SparkSpec {
 
+  test("TextGates kernel matches the Column gate formulation row for row") {
+    import org.apache.spark.sql.functions._
+    try {
+      // Corpus rows — the kernel must replay toks/scoreCol/guessCol
+      // EXACTLY (same lower/trim/split chain, same double association,
+      // same round, same tie-breaks).
+      val cols = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          Text.guessCol(col("text")).as("lang_guess"),
+          Text.scoreCol(col("text")).as("score"),
+          size(Text.toks(col("text"))).cast("long").as("n_tokens"))
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getLong(3))).toMap
+      val kern = Text.gateFrame(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getLong(3))).toMap
+      assert(kern.keySet == cols.keySet)
+      kern.foreach { case (id, got) =>
+        assert(got == cols(id), s"doc $id: kernel $got vs column ${cols(id)}")
+      }
+      // Adversarial edge rows exercise tokenizer boundaries the corpus may
+      // not: empty text, whitespace-only, punctuation-only, leading/
+      // trailing/multiple whitespace, mixed-language stopwords, ties.
+      import spark.implicits._
+      // (Zero-length text is excluded: the Column chain's ANSI division
+      // by length(text)=0 THROWS there, so no comparable baseline exists;
+      // the kernel itself is total and yields NaN.)
+      val edge = Seq(" ", "\t\n", "...", "the the the", " der die und ",
+        "le la et de", "de de", "a.b,c;d:e!f?g", "x", "the und el le de wo",
+        "The A And OF is", "  spaced   out  tokens  ").zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val ec = edge.select(col("doc_id"),
+          Text.guessCol(col("text")).as("g"), Text.scoreCol(col("text")).as("s"),
+          size(Text.toks(col("text"))).cast("long").as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+      val ek = edge.select(col("doc_id"), org.apache.spark.sql.GraftSql.column(
+          graft.functions.TextGates(
+            org.apache.spark.sql.GraftSql.expression(col("text")))).as("g"))
+        .select(col("doc_id"), col("g.guess"), col("g.score"), col("g.n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(ek == ec, s"edge rows diverge:\nkernel ${ek.toSeq.sortBy(_._1)}\ncolumn ${ec.toSeq.sortBy(_._1)}")
+    } finally Text.clearCaches()
+  }
+
   test("winnowing guarantee: a shared substring of length >= k+w-1 shares a fingerprint") {
     import spark.implicits._
     // Two docs sharing a 60-char middle chunk inside unrelated prefixes/
