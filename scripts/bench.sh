@@ -29,12 +29,25 @@ JOPTS="--add-opens=java.base/java.lang=ALL-UNNAMED
 # 137). On a box with healthy buffered writes, set BENCH_SCRATCH_ROOT to a
 # disk path for those runs — disk scratch is reclaimable page cache, not
 # pinned RAM. The scratch is deleted when the run exits.
-SCRATCH=$(mktemp -d "${BENCH_SCRATCH_ROOT:-/dev/shm}/graft-bench-XXXX")
-trap 'rm -rf "$SCRATCH"' EXIT
 # BENCH_LOCAL_DIRS (comma-separated) spreads shuffle scratch across several
 # devices — e.g. tmpfs + disk — for builds whose peak scratch exceeds any
-# single one (Spark round-robins blocks across local dirs).
-export SPARK_LOCAL_DIRS="${BENCH_LOCAL_DIRS:-$SCRATCH}"
+# single one (Spark round-robins blocks across local dirs). Each entry is
+# validated up front (a typo'd path would otherwise fail minutes later
+# inside Spark's DiskBlockManager), and the mktemp'd scratch is skipped
+# entirely when the override is present — but java.io.tmpdir still needs a
+# writable home, so it falls to the first override entry.
+if [ -n "${BENCH_LOCAL_DIRS:-}" ]; then
+  IFS=',' read -ra _dirs <<< "$BENCH_LOCAL_DIRS"
+  for d in "${_dirs[@]}"; do
+    [ -d "$d" ] || { echo "bench.sh: BENCH_LOCAL_DIRS entry '$d' is not a directory" >&2; exit 2; }
+  done
+  SCRATCH="${_dirs[0]}"
+  export SPARK_LOCAL_DIRS="$BENCH_LOCAL_DIRS"
+else
+  SCRATCH=$(mktemp -d "${BENCH_SCRATCH_ROOT:-/dev/shm}/graft-bench-XXXX")
+  trap 'rm -rf "$SCRATCH"' EXIT
+  export SPARK_LOCAL_DIRS="$SCRATCH"
+fi
 # Aggressive periodic GC: shuffle files are deleted by the ContextCleaner
 # only after the shuffle dependency is GC'd — with tmpfs scratch those
 # dead files are RAM, so the default 30-min cadence can OOM a long pass.

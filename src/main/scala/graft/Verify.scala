@@ -4,8 +4,20 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Oracle-consistency guard: every CDC oracle SQL statement hard-codes
+    * the 4-channel rule (`user_id % 4`), so an oracle dump under a
+    * `SPARK_GRAFT_CHANNELS` override (a SCALE-measurement-only knob)
+    * would silently hash-mismatch. Refuse to start instead.
+    */
+  private[graft] def requireOracleChannels(n: Int): Unit =
+    require(n == 4,
+      s"Verify needs the 4-channel rule the oracle SQL states, got $n " +
+        "channels — unset SPARK_GRAFT_CHANNELS for correctness runs " +
+        "(it exists only for wide-channel scale measurements)")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    requireOracleChannels(graft.cdc.Cdc.NumChannels)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

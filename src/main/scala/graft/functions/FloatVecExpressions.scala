@@ -335,9 +335,15 @@ case class SemanticPairStats(child: Expression, tau: Double)
     StructField("max_cos", DoubleType, nullable = false))), containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // The embedding element type is pinned to FLOAT: an array<double>
+    // column would pass a looser check at analysis and only explode later
+    // inside toFloatArray's per-element cast at runtime.
     case ArrayType(s: StructType, _) if s.length == 3 &&
         s(0).dataType == LongType &&
-        s(1).dataType.isInstanceOf[ArrayType] &&
+        (s(1).dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }) &&
         s(2).dataType == DoubleType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"SemanticPairStats needs array<struct<long, array<float>, double>>, got $t")

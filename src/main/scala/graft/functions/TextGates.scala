@@ -59,13 +59,20 @@ case class TextGates(child: Expression) extends UnaryExpression {
 
 object TextGates {
   private val Ws = java.util.regex.Pattern.compile("\\s+")
-  // Stopword profiles — MUST stay identical to Text.StopEn / guessCol's
-  // inline sets (the parity spec pins the outputs, which pins these).
-  private val En = Array("the", "a", "and", "of", "is")
-  private val De = Array("der", "die", "und", "das", "ist")
-  private val Es = Array("el", "los", "las", "y", "es")
-  private val Fr = Array("le", "la", "et", "les", "des")
-  private val Zh = Array("de", "shi", "le", "bu", "wo")
+  // THE stopword profiles — single definition site, referenced by the
+  // Column formulation too (Text.guessCol / Text.StopEn build their Seqs
+  // from these), so the two sides cannot drift; the parity spec pins the
+  // outputs on top.
+  private[graft] val StopEn = Array("the", "a", "and", "of", "is")
+  private[graft] val StopDe = Array("der", "die", "und", "das", "ist")
+  private[graft] val StopEs = Array("el", "los", "las", "y", "es")
+  private[graft] val StopFr = Array("le", "la", "et", "les", "des")
+  private[graft] val StopZh = Array("de", "shi", "le", "bu", "wo")
+  private val En = StopEn
+  private val De = StopDe
+  private val Es = StopEs
+  private val Fr = StopFr
+  private val Zh = StopZh
   private val Guesses =
     Array("en", "de", "es", "fr", "zh").map(UTF8String.fromString)
   private val Und = UTF8String.fromString("und")
@@ -108,7 +115,12 @@ object TextGates {
     val nTok = nTokI.toDouble
     val uniq = distinct.size().toDouble / nTok
     val stop = sEn.toDouble / nTok
-    val punct = punctI.toDouble / nChars
+    // Zero-length text: DELIBERATE punct=0 (no characters, no
+    // punctuation) rather than 0/0 NaN propagation. The Column chain has
+    // no defined value there (its ANSI division throws), so the kernel's
+    // totality on empty docs is an extension, not a divergence — the
+    // gated corpora all carry n_chars > 0 (spec-pinned contract).
+    val punct = if (nChars == 0.0) 0.0 else punctI.toDouble / nChars
     val score = SemanticPairStats.round4(
       0.4 * uniq + 0.4 * (1.0 - stop) + 0.2 * (1.0 - punct))
     val mx = math.max(sEn, math.max(sDe, math.max(sEs, math.max(sFr, sZh))))

@@ -668,8 +668,11 @@ object Dedup {
     * (hamming up to 45) of which only the ≤-cap sliver ever answers a
     * query (`maxHamming` defaults to 3; the pigeonhole guarantee itself
     * only covers ≤ 3 with 4 chunks). Queries above the cap fall back to
-    * the direct pipeline (and keep exact results — the chunk join finds
-    * every pair with SOME equal chunk regardless of hamming).
+    * the direct pipeline — recall there is best-effort CHUNK-COLLISION
+    * recall, same as any k > 3 query: with 4 chunks only hamming ≤ 3
+    * pigeonhole-guarantees an equal chunk, so pairs differing in all four
+    * chunks are missed at any k > 3 (durable or direct alike; see the
+    * recall note on [[simhash]]).
     */
   private[graft] val SimhashDurableMaxHamming = 8
 

@@ -20,8 +20,15 @@ object Text {
   /** Whitespace tokens of the lower-cased, trimmed text. */
   private[graft] def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
 
-  /** English-ish stopword set shared with the quality score and langid. */
-  private val StopEn = Seq("the", "a", "and", "of", "is")
+  /** English-ish stopword set shared with the quality score and langid —
+    * built from the single definition site in [[graft.functions.TextGates]]
+    * so the Column formulation and the kernel can never drift.
+    */
+  private val StopEn: Seq[String] = graft.functions.TextGates.StopEn.toIndexedSeq
+  private val StopDe: Seq[String] = graft.functions.TextGates.StopDe.toIndexedSeq
+  private val StopEs: Seq[String] = graft.functions.TextGates.StopEs.toIndexedSeq
+  private val StopFr: Seq[String] = graft.functions.TextGates.StopFr.toIndexedSeq
+  private val StopZh: Seq[String] = graft.functions.TextGates.StopZh.toIndexedSeq
 
   private def countIn(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words: _*)))
@@ -84,10 +91,10 @@ object Text {
   private[graft] def guessCol(text: Column): Column = {
     val t = toks(text)
     val sEn = countIn(t, StopEn)
-    val sDe = countIn(t, Seq("der", "die", "und", "das", "ist"))
-    val sEs = countIn(t, Seq("el", "los", "las", "y", "es"))
-    val sFr = countIn(t, Seq("le", "la", "et", "les", "des"))
-    val sZh = countIn(t, Seq("de", "shi", "le", "bu", "wo"))
+    val sDe = countIn(t, StopDe)
+    val sEs = countIn(t, StopEs)
+    val sFr = countIn(t, StopFr)
+    val sZh = countIn(t, StopZh)
     val mx = greatest(sEn, sDe, sEs, sFr, sZh)
     when(mx === 0, lit("und"))
       .when(sEn === mx, lit("en"))
@@ -275,40 +282,58 @@ object Text {
     * TWO-PHASE: natural-text gram cardinality is near-distinct, so map-side
     * partials barely compress and the single-phase formulation shuffled
     * every gram OCCURRENCE as a ~30-byte string key (~400M string rows at
-    * 5M docs — the 32.3 s suite leader). Phase 1 counts on xxhash64(gram):
-    * the big exchange carries 8-byte longs (the same key-shrinking trick
-    * the dedup suite rides end to end). Phase 2 recovers the winning gram
-    * STRINGS collision-proof: the top-(N+slack) hash buckets' minimum
-    * count is a frequency floor; a second scan re-derives grams, keeps
-    * only those whose hash beats the floor (a broadcast semi-join —
-    * winner occurrences only cross the string-keyed exchange), and
-    * recounts them EXACTLY by string, so a 64-bit collision can inflate a
-    * bucket but never a reported frequency. The slack guards the floor
-    * itself: excluding a true top-N gram would need ≥ slack+1 independent
-    * collision-inflated buckets above it (expected colliding pairs at 4e8
-    * grams ≈ 0.004 corpus-wide — the slack buys ~(10⁻¹¹)^slack). The
-    * top-N itself is TakeOrderedAndProject (per-partition partial top-k),
-    * never a global sort; deterministic tie-break on the gram.
+    * 5M docs — the 32.3 s suite leader). Phase 1 counts on the gram's
+    * xxhash64 code, emitted directly by the native
+    * [[graft.functions.WordGramHashes]] walk (one compiled pass per doc,
+    * no gram string ever built): the big exchange carries 8-byte longs
+    * (the same key-shrinking trick the dedup suite rides end to end), and
+    * the repeated-bucket count frame is DURABLE derived state — a later
+    * session answers from the materialized frame instead of re-counting
+    * the corpus. Phase 2 recovers the winning gram STRINGS
+    * collision-proof: the top-(N+slack) hash buckets' minimum count is a
+    * frequency floor; the (topN+slack+ties)-sized winner-hash set is
+    * collected driver-side and fused into a second
+    * [[graft.functions.WordGramHits]] walk that only materializes grams
+    * whose hash is a winner, then recounts them EXACTLY by string, so a
+    * 64-bit collision can inflate a bucket but never a reported
+    * frequency. The slack guards the floor itself: excluding a true top-N
+    * gram would need ≥ slack+1 independent collision-inflated buckets
+    * above it (expected colliding pairs at 4e8 grams ≈ 0.004 corpus-wide
+    * — the slack buys ~(10⁻¹¹)^slack). The top-N itself is
+    * TakeOrderedAndProject (per-partition partial top-k), never a global
+    * sort; deterministic tie-break on the gram.
     */
   def ngramFreq(spark: SparkSession, dir: String, topN: Int = 20): DataFrame = {
-    val t = col("tk")
-    val grams = when(size(t) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-    def gramRows = graft.Tables.spread(documents(spark, dir))
-      .select(toks(col("text")).as("tk"))
-      .select(explode(grams).as("gram"))
-    // Phase 1: occurrence counts on the 8-byte gram hash, with the freq-1
-    // buckets DROPPED before the cache — near-distinct cardinality means
-    // the overwhelming bulk of buckets count exactly one occurrence and
-    // can never beat a repeated gram; caching only the repeated buckets
-    // cuts the materialization ~10× (the uncut 400M-row cache build
-    // measured 100 s cold at 5M docs). The cache serves the floor probe
-    // and the winner filter as two actions over one materialization.
+    import org.apache.spark.sql.GraftSql
+    val n = 3
+    // Both corpus passes run the native gram walk ([[graft.functions
+    // .WordGramUtil]]): the former tokenize→transform(sequence)→concat_ws
+    // chain was interpreted per gram POSITION and tokenized the corpus
+    // twice — the 5M-doc suite ceiling (13.7 s warm / 47.3 s cold).
+    def textCol = GraftSql.expression(col("text"))
+    def docs = graft.Tables.spread(documents(spark, dir))
+    def exactSinglePhase = docs
+      .select(explode(GraftSql.column(
+        graft.functions.WordGrams(textCol, n))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("gram").asc)
+      .limit(topN)
+    // Phase 1: occurrence counts on the 8-byte gram hash — no gram string
+    // ever materializes; the exchange carries longs. The freq-1 buckets
+    // are DROPPED before materialization: near-distinct cardinality means
+    // the overwhelming bulk of buckets count one occurrence and can never
+    // beat a repeated gram; keeping only repeated buckets cuts the frame
+    // ~10×. The frame is DURABLE derived state (tag = gram width only —
+    // the counts don't depend on topN; floor/winner logic stays a cheap
+    // filter over it), so a fresh session skips the corpus-scale count
+    // entirely; the in-session tracked() serves the floor probe and the
+    // winner collect as two actions over one read.
     val slack = 8
-    val hcHeavy = tracked(gramRows
-      .groupBy(xxhash64(col("gram")).as("gh")).agg(count(lit(1)).as("freq"))
-      .filter(col("freq") >= 2))
+    val hcHeavy = tracked(graft.DerivedState.materialized(spark, dir, s"ngramhash-n$n")(
+      docs.select(explode(GraftSql.column(
+          graft.functions.WordGramHashes(textCol, n))).as("gh"))
+        .groupBy(col("gh")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 2)))
     // The floor is the (topN+slack)-th repeated-bucket count — driver-side
     // top-k collect, index-metadata-sized like every probe/centroid
     // collect in this engine.
@@ -320,24 +345,33 @@ object Text {
       // a safe winner gate — fall back to the exact single-phase count
       // (such a corpus is small or degenerate-flat; the string exchange
       // is cheap there).
-      return gramRows.groupBy(col("gram")).agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("gram").asc)
-        .limit(topN)
+      return exactSinglePhase
     }
     val floor = floorRows.map(_.getLong(0)).min
-    // Winners = EVERY bucket at/above the floor (a filter, not the
-    // collected top-k rows: buckets TIED at the floor must all survive —
-    // the final tie-break is `gram asc`, and a floor-tied gram cut by hash
-    // order could be the lexicographic winner). Bucket counts only ever
-    // overcount a gram (collisions merge), so the winner set is a superset
-    // of the true top-N whenever fewer than slack+1 collision-inflated
-    // buckets sit above a true winner.
-    val winners = hcHeavy.filter(col("freq") >= floor).select(col("gh"))
-    // Phase 2: exact string recount of just the winner buckets. The winner
-    // set is (topN+slack+ties)-sized → broadcast; the semi-join filters
-    // BEFORE the exchange, so only winner occurrences carry strings.
-    gramRows
-      .join(broadcast(winners), xxhash64(col("gram")) === col("gh"), "left_semi")
+    // Winners = EVERY bucket at/above the floor (buckets TIED at the floor
+    // must all survive — the final tie-break is `gram asc`, and a
+    // floor-tied gram cut by hash order could be the lexicographic
+    // winner). Bucket counts only ever overcount a gram (collisions
+    // merge), so the winner set is a superset of the true top-N whenever
+    // fewer than slack+1 collision-inflated buckets sit above a true
+    // winner. The set is (topN+slack+ties)-sized → collected driver-side
+    // and fused into the phase-2 gram walk as a sorted binary-search
+    // array, so only winner occurrences EXIST as strings — everything
+    // else dies as a register-resident hash inside the kernel. The cap
+    // guards the one degenerate shape (millions of buckets tied exactly
+    // at the floor): past it, fall back to the exact single-phase count
+    // rather than ship a multi-MB literal.
+    val winnerCap = 1 << 20
+    val winnerRows = hcHeavy.filter(col("freq") >= floor).select(col("gh"))
+      .limit(winnerCap + 1).collect()
+    if (winnerRows.length > winnerCap) return exactSinglePhase
+    val winners = winnerRows.map(_.getLong(0)).toSeq
+    // Phase 2: exact string recount of just the winner grams — a 64-bit
+    // collision admits a stray gram into the recount but can never
+    // inflate a reported frequency (counts are by string).
+    docs
+      .select(explode(GraftSql.column(
+        graft.functions.WordGramHits(textCol, n, winners))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("gram").asc)
       .limit(topN)
@@ -380,30 +414,17 @@ object Text {
     rarityDocTok(spark, dir)
 
   private def rarityDocTok(spark: SparkSession, dir: String): DataFrame = {
-    // Distinct tokens + in-doc counts from one sorted array per doc:
-    // starts = positions opening an equal-run; counts = delta to the next
-    // start. The sorted array and the start positions are STAGED through
-    // projections (column references, not inline trees) — inside a HOF
-    // lambda an inline subtree re-evaluates per ELEMENT (interpreted, no
-    // codegen), which for `element_at(array_sort(toks(text)), …)` means
-    // re-tokenizing the doc once per array access: the measured 400 s/
-    // 500k-doc blowup shape. tracked() below is the matching
-    // materialization barrier: the runs array is computed exactly once
-    // per doc, and InferFiltersFromGenerate's size()>0 filter (plus the
-    // three downstream consumers) land on the CACHED column instead of a
-    // substituted lambda chain.
-    val s = col("s")
-    val starts = col("starts")
-    val runs = transform(sequence(lit(1), size(starts)), j =>
-      struct(
-        element_at(s, element_at(starts, j)).as("tok"),
-        (coalesce(try_element_at(starts, j + 1), size(s) + 1) -
-          element_at(starts, j)).cast("long").as("c")))
+    // Distinct tokens + in-doc counts from ONE compiled walk per doc
+    // ([[graft.functions.TokenRuns]]) — the former formulation staged the
+    // same collapse through three interpreted HOF lambdas (array_sort →
+    // run-starts filter → transform(sequence)), the residual cold-path
+    // leader at 5M docs. tracked() is the materialization barrier: the
+    // runs array is computed exactly once per doc, and downstream
+    // consumers (explode + aggregations) land on the CACHED column.
     val perDoc = tracked(graft.Tables.spread(documents(spark, dir))
-      .select(col("doc_id"), array_sort(toks(col("text"))).as("s"))
-      .select(col("doc_id"), s, filter(sequence(lit(1), size(s)), i =>
-        (i === 1) || element_at(s, i) =!= element_at(s, i - 1)).as("starts"))
-      .select(col("doc_id"), runs.as("runs")))
+      .select(col("doc_id"), org.apache.spark.sql.GraftSql.column(
+        graft.functions.TokenRuns(
+          org.apache.spark.sql.GraftSql.expression(col("text")))).as("runs")))
     perDoc
       .select(col("doc_id"), explode(col("runs")).as("r"))
       .select(col("doc_id"), col("r.tok").as("tok"), col("r.c").as("c"))
@@ -411,9 +432,12 @@ object Text {
 
   def rarityScore(spark: SparkSession, dir: String): DataFrame = {
     val docTok = rarityDocTok(spark, dir)
-    // The vocab frame is cached too: it feeds the score join and (in a
-    // session reusing the suite caches) repeat invocations — one agg, not
-    // one per consumer. Under AQE the score join auto-converts to a
+    // The unigram vocab is DURABLE derived state (tag = tokenizer only —
+    // the counts depend on nothing else): a fresh session reads the
+    // materialized (tok, cnt) frame instead of re-aggregating the corpus,
+    // and the in-session tracked() keeps it warm across invocations. The
+    // corpus token total is the vocab's own sum — metadata-sized, never a
+    // second corpus pass. Under AQE the score join auto-converts to a
     // BROADCAST join whenever the realized vocab is under the broadcast
     // threshold (a unigram vocab almost always is) — then the skewed
     // token key never crosses an exchange at all. If a pathological
@@ -421,8 +445,9 @@ object Text {
     // over DISTINCT (doc, tok) rows, where the hottest key carries at
     // most one row per doc (vs one per occurrence in the position-grain
     // formulation) and AQE skew-split bounds the task.
-    val freq = tracked(docTok.groupBy(col("tok")).agg(sum(col("c")).as("cnt")))
-    val total = docTok.agg(sum(col("c")).as("n"))
+    val freq = tracked(graft.DerivedState.materialized(spark, dir, "rarity-vocab")(
+      docTok.groupBy(col("tok")).agg(sum(col("c")).as("cnt"))))
+    val total = freq.agg(sum(col("cnt")).as("n"))
     docTok.join(freq, "tok")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))

@@ -36,6 +36,28 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Verify refuses a non-oracle channel count (SPARK_GRAFT_CHANNELS footgun)") {
+    // Every CDC oracle SQL statement hard-codes user_id % 4; an oracle
+    // dump under a channel override would silently hash-mismatch, so
+    // Verify must fail fast instead.
+    Verify.requireOracleChannels(4) // the oracle rule passes
+    Seq(1, 8, 64).foreach { n =>
+      intercept[IllegalArgumentException](Verify.requireOracleChannels(n))
+    }
+  }
+
+  test("corpus contract: documents carry non-empty text (n_chars > 0)") {
+    // The TextGates kernel defines punct=0 on zero-length text where the
+    // Column chain's ANSI division would throw — deliberate totality, but
+    // the parity domain is docs with characters. Pin the contract the
+    // gated corpora actually satisfy so a loosened generator is caught
+    // here, not as a silent kernel/Column divergence.
+    import org.apache.spark.sql.functions._
+    val m = graft.Tables.documents(spark, sfDir)
+      .agg(min(length(col("text"))).as("mn")).collect()(0).getInt(0)
+    assert(m > 0, s"documents corpus must have non-empty text, min chars = $m")
+  }
+
   test("every batch query constructs a plan against sf0.001") {
     // Construction must never throw (streaming queries execute on
     // construction and are exercised by their own specs).

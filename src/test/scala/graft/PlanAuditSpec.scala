@@ -161,14 +161,20 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf(graft.operators.Text.ngramFreq(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-N must be TakeOrderedAndProject:\n$plan")
-    // Two-phase shape: the full gram stream must never cross an exchange
-    // as a string key — the string-grain aggregate may only see winner
-    // occurrences, i.e. it sits above a broadcast semi-join against the
-    // hashed phase-1 winner set.
-    assert(plan.contains("xxhash64"),
-      s"phase-2 winner filter must key on the 8-byte gram hash:\n${plan.take(1500)}")
-    assert(plan.contains("LeftSemi"),
-      s"winner filter must be a broadcast LEFT SEMI join before the string-grain agg:\n${plan.take(1500)}")
+    // Two-phase shape: the production (phase-2) plan must be ONE corpus
+    // scan through the native winner-fused gram walk — only winner grams
+    // exist as strings, the lone exchange carries the (tiny) winner-grain
+    // partial counts — with no trace of the interpreted
+    // tokenize→transform→concat_ws chain and no join at all.
+    val lower = plan.toLowerCase
+    assert(lower.contains("wordgramhits"),
+      s"phase-2 must recount through the native winner-fused gram walk:\n${plan.take(1500)}")
+    // Count HASH exchanges only: spread()'s RoundRobin repartition fires
+    // on the tiny single-split spec corpus (a no-op at real sizes).
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"phase-2 must shuffle exactly once (winner-grain partial counts):\n${plan.take(1500)}")
+    assert(!lower.contains("concat_ws"),
+      s"no interpreted gram-assembly chain may survive in the plan:\n${plan.take(1500)}")
   }
 
   test("q_hll_merge builds sketches with partial (map-side) aggregation") {

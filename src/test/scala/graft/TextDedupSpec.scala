@@ -46,6 +46,92 @@ class TextDedupSpec extends SparkSpec {
     } finally Text.clearCaches()
   }
 
+  test("word-gram kernel ≡ the Column gram chain: hashes, strings, winner hits") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftSql
+    try {
+      // The declarative chain the native walk replaced — the parity
+      // baseline it must replay byte-for-byte: same lower/trim/split
+      // tokenizer, grams joined by ' ', xxhash64 on the gram string.
+      val t = col("tk")
+      val gramChain = when(size(t) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - 2), i =>
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      import spark.implicits._
+      val edge = Seq("", " ", "\t\n", "a b", "a b c", "a a a a a",
+        "  spaced   out  tokens here  ", "héllo wörld ünïcode grüße über",
+        "The Quick BROWN fox; the quick brown fox.", "one",
+        "汉字 分词 测试 汉字 分词").zipWithIndex.map { case (s, i) => (i + 100000L, s) }
+        .toDF("doc_id", "text")
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).union(edge)
+        .select(col("doc_id"), col("text"), Text.toks(col("text")).as("tk"))
+        .select(col("doc_id"), col("text"), gramChain.as("grams"))
+      val base = docs.select(col("doc_id"), col("grams"),
+          transform(col("grams"), g => xxhash64(g)).as("hashes"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getSeq[Long](2))).toMap
+      // Winner set for the hits kernel: every hash seen in an even-id doc
+      // (arbitrary but corpus-derived, so real hits and misses both occur).
+      val winners = base.collect { case (id, (_, hs)) if id % 2 == 0 => hs }
+        .flatten.toSeq.distinct
+      val kern = docs
+        .select(col("doc_id"),
+          GraftSql.column(graft.functions.WordGramHashes(
+            GraftSql.expression(col("text")), 3)).as("kh"),
+          GraftSql.column(graft.functions.WordGrams(
+            GraftSql.expression(col("text")), 3)).as("kg"),
+          GraftSql.column(graft.functions.WordGramHits(
+            GraftSql.expression(col("text")), 3, winners)).as("hits"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[String](2), r.getSeq[String](3)))
+      assert(kern.map(_._1).toSet == base.keySet)
+      val winnerSet = winners.toSet
+      kern.foreach { case (id, (kh, kg, hits)) =>
+        val (grams, hashes) = base(id)
+        assert(kg == grams, s"doc $id gram strings diverge: $kg vs $grams")
+        assert(kh == hashes, s"doc $id gram hashes diverge")
+        val expectHits = grams.zip(hashes).collect { case (g, h) if winnerSet(h) => g }
+        assert(hits == expectHits, s"doc $id winner hits diverge: $hits vs $expectHits")
+      }
+      // TokenRuns: the (tok, c) MULTISET must equal the tokenizer's counts
+      // (emission order is unspecified — the frame only feeds aggregations).
+      val runBase = docs.select(col("doc_id"), Text.toks(col("text")).as("tk")).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[String](1).groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
+      docs.select(col("doc_id"), GraftSql.column(graft.functions.TokenRuns(
+          GraftSql.expression(col("text")))).as("runs"))
+        .select(col("doc_id"), col("runs"))
+        .collect().foreach { r =>
+          val got = r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => x.getString(0) -> x.getLong(1)).toMap
+          assert(got == runBase(r.getLong(0)),
+            s"doc ${r.getLong(0)} token runs diverge")
+        }
+    } finally Text.clearCaches()
+  }
+
+  test("text_ngram_freq equals the exact single-phase count on both routes") {
+    import org.apache.spark.sql.functions._
+    try {
+      // Exact replay through the (parity-pinned) native gram walk.
+      val exact = graft.Tables.documents(spark, sfDir)
+        .select(explode(org.apache.spark.sql.GraftSql.column(
+          graft.functions.WordGrams(
+            org.apache.spark.sql.GraftSql.expression(col("text")), 3))).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("gram").asc)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // Default topN (may take either route depending on corpus density)
+      // and topN=1 (the two-phase floor needs only 9 repeated buckets —
+      // the likely two-phase route on the tiny spec corpus): both must
+      // equal the exact count's prefix.
+      assert(rows(Text.ngramFreq(spark, sfDir)) == rows(exact.limit(20)))
+      assert(rows(Text.ngramFreq(spark, sfDir, topN = 1)) == rows(exact.limit(1)))
+    } finally Text.clearCaches()
+  }
+
   test("winnowing guarantee: a shared substring of length >= k+w-1 shares a fingerprint") {
     import spark.implicits._
     // Two docs sharing a 60-char middle chunk inside unrelated prefixes/
