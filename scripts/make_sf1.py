@@ -260,8 +260,62 @@ def write_embeddings_only(emb):
           f"pert_scale={scale:.4f})")
 
 
+NUM_BLOBS = 4
+BLOB_PCT = 22   # % of replica vectors remapped into hot blobs
+BLOB_BETA = 0.8  # |noise| / |center| -> E[cos(member, member)] ~ 1/(1+b^2) ~ 0.61
+
+
+def write_embeddings_blobs(emb):
+    """factor-x embeddings with NUM_BLOBS hot semantic-dup blobs — the
+    dedup_semantic grid-route stress shape: most replica vectors get the
+    standard ~2% perturbation (the `embeddings` mode), but BLOB_PCT% are
+    remapped to center_b + BLOB_BETA*|center| noise around NUM_BLOBS seed
+    vectors (vec_id < nlist, so the IVF assignment is the center's own
+    cluster whp — one ~(factor*rows*BLOB_PCT/100/NUM_BLOBS)-member hot
+    cluster per blob, far above the 20k kernel/grid routing threshold at
+    factor 500). Within-blob cosine ~= 1/(1+BLOB_BETA^2) ~ 0.61 with
+    spread, so a real fraction of pairs clears tau=0.45 and the stats
+    paths are exercised, not just the dot loop. Deterministic PRN — rerun
+    is bit-identical."""
+    import numpy as np
+    emb = emb.replace_schema_metadata(None)
+    v_off = round_up(pc.max(emb.column("vec_id")).as_py() + 1, 1000)
+    vid = emb.column("vec_id").to_numpy()
+    lab = emb.column("label")
+    mat = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+    n, dim = mat.shape
+    scale = 0.02 * float(np.abs(mat).mean())
+    dims = np.arange(dim, dtype=np.int64)
+    hv = (vid[:, None] * 2654435761 + dims[None, :] * 40503) % (1 << 31)
+    centers = mat[:NUM_BLOBS]  # replica-0 seed rows, preserved as-is below
+    crms = np.sqrt((centers.astype(np.float64) ** 2).mean(axis=1))
+    with pq.ParquetWriter(DST / "embeddings.parquet", emb.schema) as w:
+        w.write_table(emb)
+        for i in range(1, FACTOR):
+            prn = ((hv + i * 2246822519) * 2654435761 % (1 << 31)) / float(1 << 30) - 1.0
+            pert = (mat + scale * prn).astype(np.float32)
+            isblob = (vid * 2654435761 + i * 97003) % 100 < BLOB_PCT
+            blob = ((vid * 31 + i) % NUM_BLOBS).astype(np.int64)
+            # noise per-dim RMS = BLOB_BETA * rms(center): prn RMS is
+            # 1/sqrt(3), so scale by sqrt(3).
+            noise = prn * (BLOB_BETA * np.sqrt(3.0) * crms[blob])[:, None]
+            blobbed = (centers[blob] + noise).astype(np.float32)
+            out = np.where(isblob[:, None], blobbed, pert)
+            w.write_table(pa.table(
+                [pa.array(vid + v_off * i, type=pa.int64()),
+                 pa.array(list(out)),
+                 lab],
+                names=["vec_id", "embedding", "label"]).cast(emb.schema))
+    per_blob = (FACTOR - 1) * n * BLOB_PCT / 100 / NUM_BLOBS
+    print(f"wrote {DST}/embeddings.parquet x{FACTOR} blobs "
+          f"({NUM_BLOBS} blobs ~{per_blob:.0f} members, beta={BLOB_BETA})")
+
+
 def main():
     DST.mkdir(parents=True, exist_ok=True)
+    if MODE == "blobs":
+        write_embeddings_blobs(pq.read_table(SRC / "embeddings.parquet"))
+        return
     if MODE == "embeddings":
         write_embeddings_only(pq.read_table(SRC / "embeddings.parquet"))
         return

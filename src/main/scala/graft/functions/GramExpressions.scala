@@ -149,6 +149,71 @@ case class TokenRuns(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-document rarity statistics with the corpus vocabulary FUSED into
+  * the scan — `struct<n_toks: bigint, rarity_sum: bigint>` where
+  * rarity_sum = Σ over token positions of (N DIV cnt(tok)), the
+  * integer-rarity sum [[graft.operators.Text.rarityScore]] defines.
+  *
+  * `vocabTokens(i) → rarity(i)` is the driver-collected (bounded,
+  * cap-guarded by the caller) durable unigram vocab with N DIV cnt
+  * PRE-divided per entry; the kernel is then one tokenizer pass + one
+  * hash probe per position — no distinct-(doc, tok) explode, no join, no
+  * corpus-sized executor cache at query time. Tokens absent from the map
+  * contribute to neither sum, replaying the join route's inner-join
+  * semantics exactly (with the vocab built from the same corpus, every
+  * token hits).
+  */
+case class RarityStats(child: Expression, vocab: VocabTable)
+    extends UnaryExpression {
+
+  @transient private lazy val map: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.tokens.length * 2)
+    var i = 0
+    while (i < vocab.tokens.length) { m.put(vocab.tokens(i), vocab.rarities(i)); i += 1 }
+    m
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_toks", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("rarity_sum", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"RarityStats needs a string input, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordGramUtil.rarityStats(input.asInstanceOf[UTF8String], map)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rarityMap", map, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordGramUtil.rarityStats($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Identity-equality holder for a driver-built vocab table embedded in
+  * [[RarityStats]]. A ~10⁵-entry Seq as a case-class field would be
+  * walked by every Catalyst transform / canonicalization / semanticEquals
+  * pass during planning (measured: tens of seconds of pure planner
+  * overhead at a 92k vocab); identity equality makes those O(1). Two
+  * separately-collected vocabs therefore never canonicalize equal — at
+  * worst a missed exchange-reuse between two queries built in the same
+  * session, never a correctness issue.
+  */
+final class VocabTable(val tokens: Array[String], val rarities: Array[Long])
+    extends Serializable {
+  override def hashCode: Int = System.identityHashCode(this)
+  override def equals(o: Any): Boolean = o match {
+    case r: AnyRef => r eq this
+    case _ => false
+  }
+}
+
 /** Compiled kernel shared by the gram/token expressions — plain object so
   * the generated Java calls static forwarders and each loop stays one
   * JIT-compiled method inside whole-stage codegen.
@@ -267,6 +332,24 @@ object WordGramUtil {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  def rarityStats(text: UTF8String,
+      map: java.util.HashMap[String, java.lang.Long])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokens(text)
+    var n = 0L
+    var s = 0L
+    var i = 0
+    while (i < toks.length) {
+      val r = map.get(toks(i))
+      if (r != null) { n += 1L; s += r.longValue() }
+      i += 1
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    row.setLong(0, n)
+    row.setLong(1, s)
+    row
   }
 
   def gramHits(text: UTF8String, n: Int, sortedWinners: Array[Long]): ArrayData = {

@@ -33,9 +33,20 @@ object Pipeline {
     * the gate predicates already applied below it.
     */
   def cleanCorpus(spark: SparkSession, dir: String, tau: Double = 0.5,
-      minScore: Double = 0.72): DataFrame = {
-    val canon = Dedup.clusters(spark, dir, tau)
-      .filter(col("is_canonical")).select(col("doc_id"))
+      minScore: Double = 0.72): DataFrame =
+    cleanCorpusWithCanon(spark, dir,
+      Dedup.clusters(spark, dir, tau)
+        .filter(col("is_canonical")).select(col("doc_id")),
+      minScore)
+
+  /** The gate-and-join stage behind [[cleanCorpus]] with the canonical set
+    * injected — split out so the plan audit can pin the one-text-scan
+    * property on the LARGE local corpora too (where constructing the real
+    * clusters frame would execute a multi-minute label build just to look
+    * at a plan).
+    */
+  private[graft] def cleanCorpusWithCanon(spark: SparkSession, dir: String,
+      canon: DataFrame, minScore: Double = 0.72): DataFrame = {
     // Both gates evaluate inside ONE native kernel pass per doc
     // ([[graft.functions.TextGates]] — parity with Text.scoreCol/guessCol
     // spec-pinned): the HOF formulation's interpreted lambdas measured

@@ -430,32 +430,66 @@ object Text {
       .select(col("doc_id"), col("r.tok").as("tok"), col("r.c").as("c"))
   }
 
-  def rarityScore(spark: SparkSession, dir: String): DataFrame = {
-    val docTok = rarityDocTok(spark, dir)
-    // The unigram vocab is DURABLE derived state (tag = tokenizer only —
-    // the counts depend on nothing else): a fresh session reads the
-    // materialized (tok, cnt) frame instead of re-aggregating the corpus,
-    // and the in-session tracked() keeps it warm across invocations. The
-    // corpus token total is the vocab's own sum — metadata-sized, never a
-    // second corpus pass. Under AQE the score join auto-converts to a
-    // BROADCAST join whenever the realized vocab is under the broadcast
-    // threshold (a unigram vocab almost always is) — then the skewed
-    // token key never crosses an exchange at all. If a pathological
-    // corpus overflows the threshold, AQE falls back to a shuffle join
-    // over DISTINCT (doc, tok) rows, where the hottest key carries at
-    // most one row per doc (vs one per occurrence in the position-grain
-    // formulation) and AQE skew-split bounds the task.
+  /** Fused-route vocab ceiling: a Heaps'-law unigram vocab stays in the
+    * 10⁵-10⁷ range even for very large corpora, so the common case rides
+    * the kernel; a corpus whose realized vocab overflows the cap (noise/
+    * typo-heavy web text at extreme scale) falls back to the join route,
+    * which shuffles only distinct-(doc, tok) rows.
+    */
+  private[graft] val RarityVocabCap = 1 << 20
+
+  def rarityScore(spark: SparkSession, dir: String): DataFrame =
+    rarityScoreCapped(spark, dir, RarityVocabCap)
+
+  /** The unigram vocab is DURABLE derived state (tag = tokenizer only —
+    * the counts depend on nothing else): a fresh session reads the
+    * materialized (tok, cnt) frame instead of re-aggregating the corpus.
+    * When the realized vocab fits [[RarityVocabCap]] (the common case —
+    * measured 92k tokens at the 5M-doc corpus), the scorer is ONE narrow
+    * corpus scan: the vocab's N DIV cnt table is collected driver-side
+    * and fused into a [[graft.functions.RarityStats]] walk — no
+    * distinct-(doc, tok) explode, no join, no corpus-sized executor cache
+    * at query time (the former join route cached 136M (doc, tok) rows at
+    * 5M docs — GBs of executor memory that grow linearly with the
+    * corpus). Past the cap, the join route: distinct-grain explode, the
+    * vocab joined back (AQE broadcasts it under the threshold; above it
+    * the hottest token carries at most one row per doc and AQE
+    * skew-split bounds the task), one doc-grain re-agg.
+    */
+  private[graft] def rarityScoreCapped(spark: SparkSession, dir: String,
+      vocabCap: Int): DataFrame = {
     val freq = tracked(graft.DerivedState.materialized(spark, dir, "rarity-vocab")(
-      docTok.groupBy(col("tok")).agg(sum(col("c")).as("cnt"))))
-    val total = freq.agg(sum(col("cnt")).as("n"))
-    docTok.join(freq, "tok")
-      .crossJoin(broadcast(total))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_toks"),
-        sum(col("c") * expr("n DIV cnt")).as("rarity_sum"))
-      .select(col("doc_id"), col("n_toks"), col("rarity_sum"),
-        round(col("rarity_sum").cast("double") / col("n_toks").cast("double"), 4)
-          .as("mean_rarity"))
+      rarityDocTok(spark, dir).groupBy(col("tok")).agg(sum(col("c")).as("cnt"))))
+    val vocabRows = freq.limit(vocabCap + 1).collect()
+    if (vocabRows.length <= vocabCap) {
+      // N = Σ cnt over the COMPLETE vocab (the limit returned everything).
+      val n = vocabRows.iterator.map(_.getLong(1)).sum
+      // Pre-divide per entry: rarity(tok) = N DIV cnt, exact long math.
+      val vocab = new graft.functions.VocabTable(
+        vocabRows.map(_.getString(0)),
+        vocabRows.map(r => n / r.getLong(1)))
+      graft.Tables.spread(documents(spark, dir))
+        .select(col("doc_id"), org.apache.spark.sql.GraftSql.column(
+          graft.functions.RarityStats(
+            org.apache.spark.sql.GraftSql.expression(col("text")),
+            vocab)).as("rs"))
+        .select(col("doc_id"), col("rs.n_toks").as("n_toks"),
+          col("rs.rarity_sum").as("rarity_sum"))
+        .select(col("doc_id"), col("n_toks"), col("rarity_sum"),
+          round(col("rarity_sum").cast("double") / col("n_toks").cast("double"), 4)
+            .as("mean_rarity"))
+    } else {
+      val docTok = rarityDocTok(spark, dir)
+      val total = freq.agg(sum(col("cnt")).as("n"))
+      docTok.join(freq, "tok")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_toks"),
+          sum(col("c") * expr("n DIV cnt")).as("rarity_sum"))
+        .select(col("doc_id"), col("n_toks"), col("rarity_sum"),
+          round(col("rarity_sum").cast("double") / col("n_toks").cast("double"), 4)
+            .as("mean_rarity"))
+    }
   }
 
   /** Per-doc repetition filters (Gopher-style; Rae et al. 2021 §A1.1):

@@ -12,7 +12,7 @@ object ProbeRarity {
     val dir = Prof.sfDir
     import graft.operators.Text
     // Pass 1: cold (includes the perDoc cache build).
-    Prof.time("rarity pass 1 (cold, builds cache)")(
+    Prof.time("rarity pass 1 (cold)")(
       Text.rarityScore(spark, dir).agg(sum(col("rarity_sum"))).collect())
     Prof.time("rarity pass 2 (warm cache)")(
       Text.rarityScore(spark, dir).agg(sum(col("rarity_sum"))).collect())

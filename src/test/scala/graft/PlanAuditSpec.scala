@@ -317,6 +317,24 @@ class PlanAuditSpec extends SparkSpec {
       // The gate predicates must run below the join with the canonical
       // set (filter-then-join), and the join must stay an equi-join.
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+      // Same pin against the larger local corpora when present (gitignored
+      // dev artifacts): AQE decisions change with stats, and the one-scan
+      // property must survive them. Plan-only, with the canonical set
+      // stubbed (a doc_id-pruned scan, the real set's shape) — the real
+      // clusters frame would execute a multi-minute label build at 10x
+      // just to look at a plan.
+      Seq("/root/repo/testdata-sf1", "/root/repo/testdata-docs100x")
+        .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+        .foreach { d =>
+          import org.apache.spark.sql.functions.col
+          val canon = graft.Tables.documents(spark, d)
+            .filter(col("doc_id") % 2 === 0).select(col("doc_id"))
+          val p = planOf(graft.operators.Pipeline.cleanCorpusWithCanon(spark, d, canon))
+          val scans = p.linesIterator.count(l =>
+            l.contains("documents.parquet") && l.contains("text:string"))
+          assert(scans == 1,
+            s"$d: gates must share one text scan, found $scans:\n${p.take(2000)}")
+        }
     } finally {
       graft.operators.Dedup.clearCaches()
       graft.operators.Text.clearCaches()

@@ -529,21 +529,36 @@ class TextDedupSpec extends SparkSpec {
       s"an unpartitioned global-order window serializes the corpus:\n${plan.take(1200)}")
   }
 
-  test("text_rarity_score plan: no token-position-grain exchange, vocab join broadcast") {
-    val plan = Text.rarityScore(spark, sfDir).queryExecution.executedPlan.toString
-    // The only generator must consume the CACHED per-doc (tok, c) runs
-    // array; an explode of the raw tokenizer output would put one row per
-    // token POSITION (Zipf-skewed key) onto the downstream exchanges —
-    // the round-11 5.5 s/500k-doc plan this reshape replaced.
-    assert(plan.contains("explode(runs"),
-      s"generator must explode the cached runs column:\n${plan.take(1500)}")
-    assert(!plan.contains("explode(split"),
-      s"raw token-position explode resurfaced:\n${plan.take(1500)}")
-    // The vocab-sized freq frame must come back to the scorer as a
-    // broadcast, not a shuffle of the skewed token key.
-    assert(plan.contains("BroadcastHashJoin"),
-      s"vocab join must broadcast:\n${plan.take(1500)}")
+  test("text_rarity_score plan: fused-vocab narrow map, join fallback broadcast") {
+    // Production (vocab under the cap): ONE corpus scan through the
+    // RarityStats kernel — no explode, no join, no hash exchange at all.
+    val prod = Text.rarityScore(spark, sfDir).queryExecution.executedPlan.toString
+    assert(prod.toLowerCase.contains("raritystats"),
+      s"scorer must run the fused vocab kernel:\n${prod.take(1500)}")
+    assert(!prod.contains("Exchange hashpartitioning") && !prod.contains("Generate"),
+      s"fused route must be a narrow map — no explode/shuffle:\n${prod.take(1500)}")
+    // Fallback (vocab over the cap, forced with cap=0): distinct-grain
+    // explode of the cached runs column, vocab joined back as broadcast —
+    // never a token-POSITION-grain exchange (the round-11 Zipf-skew plan).
+    val join = Text.rarityScoreCapped(spark, sfDir, 0)
+      .queryExecution.executedPlan.toString
+    assert(join.contains("explode(runs"),
+      s"fallback generator must explode the cached runs column:\n${join.take(1500)}")
+    assert(!join.contains("explode(split"),
+      s"raw token-position explode resurfaced:\n${join.take(1500)}")
+    assert(join.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n${join.take(1500)}")
     Text.clearCaches()
+  }
+
+  test("text_rarity_score: fused kernel route ≡ the join route row for row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    try assert(rows(Text.rarityScore(spark, sfDir)) ==
+      rows(Text.rarityScoreCapped(spark, sfDir, 0)),
+      "the two routes must agree exactly")
+    finally Text.clearCaches()
   }
 
   test("text_rarity_score equals an integer-math replay and ranks rare vocabulary higher") {
