@@ -360,6 +360,65 @@ case class SemanticPairStats(child: Expression, tau: Double)
     copy(child = newChild)
 }
 
+/** [[SemanticPairStats]] for one CELL of the block grid — the oversized-
+  * cluster route: the grid decomposition (sub-blocks by pmod(vec_id, NB),
+  * every unordered sub-block pair meets in exactly one (gi, gj) cell)
+  * stays OUTSIDE in the plan, and the cell's cross-block pair dots run
+  * INSIDE this kernel over two unpacked member arrays — no pair rows, no
+  * per-pair embedding copies, no per-pair Round. Replaces the pair-row
+  * grid join, whose row machinery (plus Spark Round's Double.toString per
+  * pair) ran >17 min on a real 61k-member hot cluster where the pair math
+  * itself owes ~seconds (measured on the blobs corpus, round 14).
+  *
+  * Diagonal cells (gi == gj, both inputs the same sub-block) delegate to
+  * [[SemanticPairStats.stats]] — i<j pairs once; off-diagonal cells score
+  * every cross pair and credit the HIGHER vec_id (blocks partition
+  * vec_ids, so cross pairs never tie). Output is the cell's PARTIAL
+  * per-vector stats; the caller sums n_earlier / maxes max_cos across
+  * cells — exact because cells partition the cluster's pair set.
+  * Per-task memory: two sub-blocks, regardless of cluster size.
+  */
+case class SemanticCellStats(first: Expression, second: Expression,
+    third: Expression, tau: Double)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_b", LongType, nullable = false),
+    StructField("n_earlier", LongType, nullable = false),
+    StructField("max_cos", DoubleType, nullable = false))), containsNull = false)
+
+  private def memberOk(t: DataType): Boolean = t match {
+    case ArrayType(s: StructType, _) if s.length == 3 &&
+        s(0).dataType == LongType &&
+        (s(1).dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }) &&
+        s(2).dataType == DoubleType => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (memberOk(first.dataType) && memberOk(second.dataType) &&
+      third.dataType == BooleanType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"SemanticCellStats needs (members, members, boolean), got " +
+        s"${first.dataType} / ${second.dataType} / ${third.dataType}")
+
+  override def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    SemanticPairStats.cellStats(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], d.asInstanceOf[Boolean], tau)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, d) =>
+      s"${ev.value} = graft.functions.SemanticPairStats.cellStats($a, $b, $d, $tau);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object SemanticPairStats {
   /** `round(d, 4)` with Spark's double Round semantics (HALF_UP over the
     * shortest-decimal value). The BigDecimal formulation Spark itself runs
@@ -380,6 +439,97 @@ object SemanticPairStats {
       java.math.BigDecimal.valueOf(d)
         .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
     else math.floor(t + 0.5) / 10000.0
+  }
+
+  /** Unpack a members array into primitive (ids, double-widened
+    * embeddings, norms) — m·d upfront conversions buying pure-FMA pair
+    * loops (float→double is exact, so folds match [[FloatDotProduct]]).
+    */
+  private def unpack(members: ArrayData)
+      : (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val m = members.numElements()
+    val ids = new Array[Long](m)
+    val embs = new Array[Array[Double]](m)
+    val nrms = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val r = members.getStruct(i, 3)
+      ids(i) = r.getLong(0)
+      val fa = r.getArray(1).toFloatArray()
+      val da = new Array[Double](fa.length)
+      var q = 0
+      while (q < fa.length) { da(q) = fa(q).toDouble; q += 1 }
+      embs(i) = da
+      nrms(i) = r.getDouble(2)
+      i += 1
+    }
+    (ids, embs, nrms)
+  }
+
+  /** One grid cell's partial stats — see [[SemanticCellStats]]. Diagonal
+    * cells delegate to [[stats]] (i<j once); off-diagonal cells score all
+    * cross pairs, crediting the higher vec_id.
+    */
+  def cellStats(ma: ArrayData, mb: ArrayData, diag: Boolean,
+      tau: Double): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    if (diag) return stats(ma, tau)
+    val (idsA, embsA, nrmsA) = unpack(ma)
+    val (idsB, embsB, nrmsB) = unpack(mb)
+    val na = idsA.length
+    val nb = idsB.length
+    val band = tau - 1e-4
+    val nEa = new Array[Long](na)
+    val mxA = Array.fill(na)(Double.NegativeInfinity)
+    val nEb = new Array[Long](nb)
+    val mxB = Array.fill(nb)(Double.NegativeInfinity)
+    var i = 0
+    while (i < na) {
+      val ea = embsA(i)
+      val ni = nrmsA(i)
+      val ida = idsA(i)
+      var j = 0
+      while (j < nb) {
+        val eb = embsB(j)
+        val n = math.min(ea.length, eb.length)
+        var acc = 0.0
+        var k = 0
+        while (k < n) { acc += ea(k) * eb(k); k += 1 }
+        val cos = acc / (ni * nrmsB(j))
+        if (cos >= band) {
+          val r = round4(cos)
+          if (r >= tau) {
+            if (ida < idsB(j)) {
+              nEb(j) += 1L
+              if (r > mxB(j)) mxB(j) = r
+            } else {
+              nEa(i) += 1L
+              if (r > mxA(i)) mxA(i) = r
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    def emit(ids: Array[Long], ne: Array[Long], mx: Array[Double]): Unit = {
+      var p = 0
+      while (p < ids.length) {
+        if (ne(p) > 0) {
+          val row = new GenericInternalRow(3)
+          row.setLong(0, ids(p))
+          row.setLong(1, ne(p))
+          row.setDouble(2, mx(p))
+          out += row
+        }
+        p += 1
+      }
+    }
+    emit(idsA, nEa, mxA)
+    emit(idsB, nEb, mxB)
+    new GenericArrayData(out.toArray)
   }
 
   /** Shared by interpreted eval and codegen. Members are sorted by vec_id

@@ -83,4 +83,9 @@ object Vec {
     */
   def semanticPairStats(members: Column, tau: Double): Column =
     GraftSql.column(SemanticPairStats(GraftSql.expression(members), tau))
+
+  def semanticCellStats(msa: Column, msb: Column, diag: Column,
+      tau: Double): Column =
+    GraftSql.column(SemanticCellStats(GraftSql.expression(msa),
+      GraftSql.expression(msb), GraftSql.expression(diag), tau))
 }

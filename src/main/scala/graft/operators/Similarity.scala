@@ -651,19 +651,21 @@ object Similarity {
     math.max(SemMinNlist, math.ceil(n.toDouble / SemClusterTarget).toInt)
 
   /** Cluster size above which [[semanticDedup]] routes a cluster through
-    * the NB block grid instead of the member-gather kernel. The kernel's
-    * single-task ceiling is T²/2 pair dots — at 20,000 that is ≤ 200M
-    * pairs ≈ low tens of seconds, an acceptable largest task — so the
-    * grid's per-pair row machinery (and Spark round()'s Double.toString +
-    * BigDecimal per pair — jstack'd as the dominant grid cost at 20M
-    * vectors) is paid ONLY by genuinely pathological hot clusters, where
-    * the grid's bounded-per-task-memory guarantee is worth it. The
-    * first kernel cut used 5000 — at the 20M corpus the real size
+    * the block-grid CELL KERNEL instead of the whole-cluster member-gather
+    * kernel. The whole-cluster kernel's single-task ceiling is T²/2 pair
+    * dots — at 20,000 that is ≤ 200M pairs ≈ low tens of seconds, an
+    * acceptable largest task; above it the cell decomposition bounds
+    * per-task memory at two sub-blocks AND spreads one hot cluster's pair
+    * work over NB(NB+1)/2 tasks (measured on the round-14 blobs corpus,
+    * 4 clusters of 38-61k members: cell route 45 s for the 1M-vector
+    * corpus vs 162 s for the forced single-task-per-cluster kernel; the
+    * former pair-ROW grid did not finish in 17 min on the same corpus).
+    * The first kernel cut used 5000 — at the 20M corpus the real size
     * distribution (median 451, p90 6210, max 6955) put 93% of all pair
-    * work ABOVE that threshold, i.e. back on the grid; thresholds must
-    * clear the corpus's natural hot-cluster tail, not the mean. A spec
-    * seam (var) lets tests force every cluster through the grid route and
-    * pin the two routes' results identical.
+    * work ABOVE that threshold; thresholds must clear the corpus's
+    * natural hot-cluster tail, not the mean. A spec seam (var) lets tests
+    * force every cluster through the cell route and pin the two routes'
+    * results identical.
     */
   private[graft] var SemGridMinCluster = 20000L
 
@@ -721,37 +723,43 @@ object Similarity {
       .filter(col("s").isNotNull)
       .select(col("s.id_b").as("vec_id"), col("cluster"),
         col("s.n_earlier").as("n_earlier"), col("s.max_cos").as("max_cos"))
-    // BIG clusters: the block grid — same cell-ownership scheme as
-    // pairwiseDups, per cluster: a-side owns (blk, q) for q >= blk, b-side
-    // (p, blk) for p <= blk — every unordered sub-block pair of a cluster
-    // meets in exactly one cell, so per-task memory stays bounded by two
-    // sub-blocks of one cluster however hot the cluster is.
+    // BIG clusters: the CELL KERNEL — the block-grid decomposition (sub-
+    // blocks by pmod(vec_id, NB); every unordered sub-block pair of a
+    // cluster meets in exactly one (gi ≤ gj) cell) stays in the plan, and
+    // each cell's cross-block pair dots run inside [[graft.functions
+    // .SemanticCellStats]] over two gathered member arrays. The former
+    // pair-ROW grid join paid the ~20× row-machinery tax (plus a Round
+    // per pair) on every cross pair — measured >17 min on a real
+    // 61k-member blob cluster whose pair math owes seconds; the kernel
+    // runs the same cells at the FMA floor. Per-task memory is still two
+    // sub-blocks of one cluster however hot the cluster is; each member
+    // crosses the exchange once per covering cell side (NB+1 copies),
+    // the same replication the pair-row grid paid per SIDE — but never
+    // per PAIR. The explicit repartition by cell key is LOAD-BEARING:
+    // the cell frame is only hot-clusters × NB(NB+1)/2 rows, and without
+    // it AQE coalesces those few fat rows into one task (observed: a
+    // single thread grinding all four blob cells).
     val big = n.filter(col("csize") > SemGridMinCluster)
       .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)))
-    val a = big
-      .withColumn("gj", explode(array((0 until nBlocks).map(lit): _*)))
-      .filter(col("blk") <= col("gj"))
-      .select(col("cluster"), col("blk").as("gi"), col("gj"),
-        col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = big
-      .withColumn("gi", explode(array((0 until nBlocks).map(lit): _*)))
-      .filter(col("gi") <= col("blk"))
-      .select(col("cluster"), col("gi"), col("blk").as("gj"),
-        col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    val bigPairs = a.join(b, Seq("cluster", "gi", "gj"))
-      // Off-diagonal cells see each unordered pair once (normalize to the
-      // higher id — the "duplicate" side); diagonal cells see both orders,
-      // keep one.
-      .filter(col("gi") =!= col("gj") || col("id_a") < col("id_b"))
-      .select(col("cluster"), greatest(col("id_a"), col("id_b")).as("id_b"),
-        round(Vec.cosinePrenorm(col("ea"), col("eb"), col("na"), col("nb")), 4).as("cos"))
-      .filter(col("cos") >= tau)
-    val bigStats = bigPairs
-      .groupBy(col("id_b"))
+    val blocks = big
+      .groupBy(col("cluster"), col("blk"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("ms"))
+    val cells = blocks.select(col("cluster"), col("blk").as("gi"), col("ms").as("msa"))
+      .join(blocks.select(col("cluster"), col("blk").as("gj"), col("ms").as("msb")),
+        Seq("cluster"))
+      .filter(col("gi") <= col("gj"))
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("cluster"), col("gi"), col("gj"))
+    val bigStats = cells
+      .select(col("cluster"), explode_outer(Vec.semanticCellStats(
+        col("msa"), col("msb"), col("gi") === col("gj"), tau)).as("s"))
+      .filter(col("s").isNotNull)
+      // Cells partition the pair set: per-vector partials sum exactly.
+      .groupBy(col("s.id_b").as("vec_id"))
       .agg(max(col("cluster")).as("cluster"),
-        count(lit(1)).as("n_earlier"), max(col("cos")).as("max_cos"))
-      .select(col("id_b").as("vec_id"), col("cluster"),
-        col("n_earlier"), col("max_cos"))
+        sum(col("s.n_earlier")).as("n_earlier"),
+        max(col("s.max_cos")).as("max_cos"))
+      .select(col("vec_id"), col("cluster"), col("n_earlier"), col("max_cos"))
     // Every cluster takes exactly one route (and every vector lives in
     // exactly one cluster), so both sides are already final per-vector
     // stats and the union is disjoint — no re-aggregation needed.

@@ -247,11 +247,15 @@ class SimilaritySpec extends SparkSpec {
     try {
       val hashRouted = Similarity.semanticDedup(spark, sfDir).collect()
         .map(_.toSeq).toSet
-      Similarity.SemGridMinCluster = 0L // every cluster takes the grid route
+      Similarity.SemGridMinCluster = 0L // every cluster takes the CELL-kernel route
       val gridForced = Similarity.semanticDedup(spark, sfDir).collect()
         .map(_.toSeq).toSet
       assert(hashRouted == gridForced,
         "the two routes must produce the identical duplicate set")
+      // (The same equivalence holds on REAL oversized clusters: the blobs
+      // corpus — 4 clusters of 38-61k members, above the 20k threshold —
+      // measured bit-identical row digests between the cell route and the
+      // forced member-gather kernel; tools/ProbeBlobs, round 14.)
       assert(hashRouted.nonEmpty, "corpus must exercise the duplicate path")
     } finally Similarity.SemGridMinCluster = default
   }
