@@ -632,6 +632,11 @@ object CdcStream {
     val packs = msgs.groupByKey(_.channel)
       .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(foldPacker(maxCount, maxBytes))
-    drain(packs.toDF(), "append")
+    // Parquet drain, NOT the memory sink: closed packs are ~input/8 rows
+    // (one per PackMaxCount messages) — at 100M events the memory sink's
+    // collect-to-driver blew spark.driver.maxResultSize (4 × ~277 MB task
+    // results); the parquet drain keeps the emission distributed, same as
+    // stream_kafka_format's per-event projection.
+    drainParquet(packs.toDF())
   }
 }
