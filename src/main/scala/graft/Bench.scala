@@ -42,6 +42,7 @@ object Bench {
     graft.operators.Dedup.clearCaches()
     graft.operators.Text.clearCaches()
     graft.operators.Similarity.clearCaches()
+    graft.operators.Pipeline.clearCaches()
     graft.streaming.CdcStream.dropSinks(spark)
   }
 

@@ -45,6 +45,7 @@ object Verify {
     graft.operators.Dedup.clearCaches()
     graft.operators.Text.clearCaches()
     graft.operators.Similarity.clearCaches()
+    graft.operators.Pipeline.clearCaches()
     graft.streaming.CdcStream.dropSinks(spark)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
