@@ -41,7 +41,14 @@ if [ -n "${BENCH_LOCAL_DIRS:-}" ]; then
   for d in "${_dirs[@]}"; do
     [ -d "$d" ] || { echo "bench.sh: BENCH_LOCAL_DIRS entry '$d' is not a directory" >&2; exit 2; }
   done
-  SCRATCH="${_dirs[0]}"
+  # java.io.tmpdir gets its own RUN-SCOPED subdir inside the first override
+  # entry, trap-deleted on exit: graft temp dirs (graft-derived-*,
+  # graft-drain-*, graft-ckpt-*) land there, and a run killed before JVM
+  # shutdown hooks fire (the OOM-kill scenario these benches hit) must not
+  # leave them accumulating in the user's shuffle dir. The override entries
+  # themselves are only handed to SPARK_LOCAL_DIRS — never deleted.
+  SCRATCH=$(mktemp -d "${_dirs[0]}/graft-bench-tmp-XXXX")
+  trap 'rm -rf "$SCRATCH"' EXIT
   export SPARK_LOCAL_DIRS="$BENCH_LOCAL_DIRS"
 else
   SCRATCH=$(mktemp -d "${BENCH_SCRATCH_ROOT:-/dev/shm}/graft-bench-XXXX")
@@ -51,7 +58,17 @@ fi
 # Aggressive periodic GC: shuffle files are deleted by the ContextCleaner
 # only after the shuffle dependency is GC'd — with tmpfs scratch those
 # dead files are RAM, so the default 30-min cadence can OOM a long pass.
-java $JOPTS -Xmx${BENCH_XMX:-96g} -Djava.io.tmpdir="$SCRATCH" \
+# -Xms=-Xmx + AlwaysPreTouch: fault the whole heap in at JVM start (outside
+# any measured pass). Without it, the first pass that grows the heap by tens
+# of GB stalls 2-5 MINUTES in the kernel — 32 mutator threads page-faulting
+# fresh heap serialize on mmap_lock (measured: replay_dedup passes
+# 36/161/24/26/25/27 s — the one mid-growth pass is 6x; vmstat showed
+# sys=60-90% for its duration with steal=0). BENCH_PRETOUCH=0 opts out.
+PRETOUCH=""
+if [ "${BENCH_PRETOUCH:-1}" = "1" ]; then
+  PRETOUCH="-Xms${BENCH_XMX:-96g} -XX:+AlwaysPreTouch"
+fi
+java $JOPTS -Xmx${BENCH_XMX:-96g} $PRETOUCH -Djava.io.tmpdir="$SCRATCH" \
   -Dspark.cleaner.periodicGC.interval="${BENCH_GC_INTERVAL:-90s}" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   "${MAIN:-graft.Bench}" "$@"

@@ -311,8 +311,77 @@ def write_embeddings_blobs(emb):
           f"({NUM_BLOBS} blobs ~{per_blob:.0f} members, beta={BLOB_BETA})")
 
 
+HD_DIM_TILE = 12    # 64-dim base tiled to 768
+HD_NUM_BLOBS = 2
+HD_BLOB_PCT = 10    # % of replica vectors remapped into hot blobs
+
+
+def write_embeddings_highdim(emb):
+    """factor-x embeddings at PRODUCTION dim (64 x HD_DIM_TILE = 768) — the
+    dimension-realism scale point: every constant the dim=64 corpora
+    anchored (semantic-dedup routing threshold, gather memory, FMA floor)
+    is re-measured here at a real embedding width. Each base vector is
+    TILED HD_DIM_TILE times then per-(vec, replica, block, dim) hash-noise
+    perturbed (~2% component scale), so magnitudes/cluster geometry follow
+    the base corpus while blocks are never identical. Replica 0 (the seed
+    rows: IVF centroids vec_id < 16, query sets vec_id < 8) is tiled
+    without replica noise but with per-BLOCK noise so the corpus is
+    genuinely 768-dim, not 12 copies of a 64-dim problem. HD_BLOB_PCT% of
+    replica vectors remap into HD_NUM_BLOBS hot blobs (same recipe as
+    `blobs` mode) so clusters of ~factor*rows*pct/100/blobs members sit
+    ABOVE the dim-768 routing threshold (~5.8k) and the cell route is
+    exercised at width. Deterministic — reruns are bit-identical."""
+    import numpy as np
+    emb = emb.replace_schema_metadata(None)
+    v_off = round_up(pc.max(emb.column("vec_id")).as_py() + 1, 1000)
+    vid = emb.column("vec_id").to_numpy()
+    lab = emb.column("label")
+    base = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+    n, d0 = base.shape
+    dim = d0 * HD_DIM_TILE
+    scale = 0.02 * float(np.abs(base).mean())
+    dims = np.arange(dim, dtype=np.int64)
+    hv = (vid[:, None] * 2654435761 + dims[None, :] * 40503) % (1 << 31)
+
+    def prn(salt):
+        return ((hv + salt * 2246822519) * 2654435761 % (1 << 31)) \
+            / float(1 << 30) - 1.0
+
+    tiled0 = (np.tile(base, (1, HD_DIM_TILE))
+              + scale * prn(0)).astype(np.float32)
+    schema = pa.schema([pa.field("vec_id", pa.int64()),
+                        pa.field("embedding", pa.list_(pa.float32())),
+                        pa.field("label", emb.schema.field("label").type)])
+    centers = tiled0[:HD_NUM_BLOBS]
+    crms = np.sqrt((centers.astype(np.float64) ** 2).mean(axis=1))
+    beta = 0.8
+    with pq.ParquetWriter(DST / "embeddings.parquet", schema) as w:
+        w.write_table(pa.table(
+            [pa.array(vid, type=pa.int64()), pa.array(list(tiled0)), lab],
+            names=["vec_id", "embedding", "label"]).cast(schema))
+        for i in range(1, FACTOR):
+            p = prn(i)
+            pert = (np.tile(base, (1, HD_DIM_TILE)) + scale * p
+                    ).astype(np.float32)
+            isblob = (vid * 2654435761 + i * 97003) % 100 < HD_BLOB_PCT
+            blob = ((vid * 31 + i) % HD_NUM_BLOBS).astype(np.int64)
+            noise = p * (beta * np.sqrt(3.0) * crms[blob])[:, None]
+            blobbed = (centers[blob] + noise).astype(np.float32)
+            out = np.where(isblob[:, None], blobbed, pert)
+            w.write_table(pa.table(
+                [pa.array(vid + v_off * i, type=pa.int64()),
+                 pa.array(list(out)), lab],
+                names=["vec_id", "embedding", "label"]).cast(schema))
+    per_blob = (FACTOR - 1) * n * HD_BLOB_PCT / 100 / HD_NUM_BLOBS
+    print(f"wrote {DST}/embeddings.parquet x{FACTOR} dim={dim} "
+          f"({HD_NUM_BLOBS} blobs ~{per_blob:.0f} members)")
+
+
 def main():
     DST.mkdir(parents=True, exist_ok=True)
+    if MODE == "highdim":
+        write_embeddings_highdim(pq.read_table(SRC / "embeddings.parquet"))
+        return
     if MODE == "blobs":
         write_embeddings_blobs(pq.read_table(SRC / "embeddings.parquet"))
         return

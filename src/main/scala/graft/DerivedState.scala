@@ -10,8 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `root/corpusKey#tag` and REUSED by later sessions without rebuilding —
   * on a real cluster that root belongs in the lake next to the corpus,
   * like any index. `tag` must encode every constant the frame depends on;
-  * rebuild-on-corpus-change is the caller's contract (the key encodes the
-  * corpus PATH, not its contents), same as the IVF index lifecycle.
+  * the key itself carries the corpus PATH plus a file-metadata staleness
+  * fingerprint (see `fingerprint`), so a corpus regenerated in place
+  * rebuilds its frames instead of serving stale ones.
   *
   * Materializing to parquet (rather than holding the build plan as a
   * cached frame) is load-bearing: a cached frame's lineage still
@@ -45,6 +46,36 @@ private[graft] object DerivedState {
   /** Test seam mirroring the old Dedup override. */
   private[graft] var rootOverride: Option[String] = None
 
+  /** Per-session corpus staleness fingerprint, memoized per dir: an MD5
+    * over the corpus's file METADATA (relative path, byte length, mtime
+    * millis, walked in sorted order) — one directory listing at first
+    * touch per session, no Spark job. Folded into both the path memo key
+    * and the on-disk frame name so a corpus REGENERATED IN PLACE (same
+    * path, new data) can never be served another corpus's token/pair/label
+    * frames: the fingerprint changes, the old frame dir simply stops
+    * matching, and the frame rebuilds — closing the footgun the
+    * path-keyed contract left to callers. A byte-identical-length rewrite
+    * inside one mtime tick is the only blind spot (regeneration changes
+    * content sizes and timestamps in practice); false rebuilds (e.g. a
+    * copied corpus with fresh mtimes) cost a rebuild, never wrong rows.
+    */
+  private val fps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fingerprint(dir: String): String =
+    fps.computeIfAbsent(dir, { d =>
+      val root = new java.io.File(d)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def walk(f: java.io.File): Unit =
+        Option(f.listFiles()).map(_.sortBy(_.getName)).getOrElse(Array.empty)
+          .foreach { k =>
+            if (k.isDirectory) walk(k)
+            else md.update(
+              s"${k.getPath.drop(root.getPath.length)}#${k.length}#${k.lastModified}\n"
+                .getBytes("UTF-8"))
+          }
+      walk(root)
+      md.digest().take(6).map("%02x".format(_)).mkString
+    })
+
   private lazy val sessionRoot: String = {
     val t = java.nio.file.Files.createTempDirectory("graft-derived-").toFile
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -66,10 +97,10 @@ private[graft] object DerivedState {
   def buildTracked(fallback: CacheRegistry)(df: DataFrame): DataFrame =
     Option(scratch.get).getOrElse(fallback).tracked(df)
 
-  /** Forget session-memoized paths (simulates a fresh session against the
-    * same durable root).
+  /** Forget session-memoized paths AND corpus fingerprints (simulates a
+    * fresh session against the same durable root).
     */
-  def reset(): Unit = dirs.clear()
+  def reset(): Unit = { dirs.clear(); fps.clear() }
 
   /** The materialized frame for (corpus `dir`, `tag`), building it with
     * `build` exactly once per (root, dir, tag) per session if no durable
@@ -79,12 +110,13 @@ private[graft] object DerivedState {
   def materialized(spark: SparkSession, dir: String, tag: String)(
       build: => DataFrame): DataFrame = {
     val root = resolvedRoot
-    val key = s"$root#$dir#$tag"
+    val fp = fingerprint(dir)
+    val key = s"$root#$dir#$fp#$tag"
     val path = Option(dirs.get(key)).getOrElse {
       val lock = locks.computeIfAbsent(key, _ => new Object)
       lock.synchronized {
         Option(dirs.get(key)).getOrElse {
-          val d = new java.io.File(root, s"${Tables.corpusKey(dir)}#$tag")
+          val d = new java.io.File(root, s"${Tables.corpusKey(dir)}#$fp#$tag")
           if (!new java.io.File(d, "_SUCCESS").isFile) {
             val reg = new CacheRegistry
             val prev = scratch.get

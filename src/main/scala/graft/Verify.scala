@@ -30,6 +30,14 @@ object Verify {
     // Dev knob (driver never sets it): SPARK_GRAFT_QUERIES=a,b,c re-dumps
     // a subset into an existing outDir, e.g. after a targeted fix.
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    // Dev knob (driver never sets it): SPARK_GRAFT_SEM_GRID_MIN=n forces
+    // dedup_semantic's cluster-size routing base, so the CELL-kernel route
+    // can be dumped on a gated corpus and DuckDB-compared INDEPENDENTLY of
+    // the member-gather kernel it is spec-pinned against (the two share
+    // round4/unpack code; the oracle shares nothing).
+    sys.env.get("SPARK_GRAFT_SEM_GRID_MIN").foreach { v =>
+      graft.operators.Similarity.SemGridMinCluster = v.toLong
+    }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -83,14 +83,30 @@ object Pipeline {
     * scanned and tokenized once; the bucket window stays spec-pinned
     * shard-partitioned — never a global-order window.
     */
+  /** Bucket width in doc_id space for [[packSequences]]'s two-phase scan
+    * (ids need not be dense — empty buckets simply don't exist; uneven
+    * buckets only skew task sizes, never results). 64k keeps the
+    * bucket-total frame metadata-sized at any plausible id range while
+    * giving each shard ≥ corpus/64k-way parallelism. A spec seam (var) so
+    * tests can force MULTIPLE buckets per source on the tiny spec corpus
+    * and exercise the bucket-offset arm (boff window + offset join) that
+    * a corpus whose ids all fit one bucket never touches.
+    */
+  private[graft] var PackBucketWidth: Long = 65536L
+
+  /** Row cap on [[packSequences]]' broadcast of the per-(source, bucket)
+    * offset frame. Offset rows grow as id-range/bucket-width per source —
+    * ~1.5M rows per source at a dense 10¹¹ id range — so like every other
+    * broadcast/driver structure in the engine (ngram winner cap, rarity
+    * vocab cap, SQ8 constants) it carries an explicit cap: past it the
+    * offsets join back as a plain shuffle join on (source, bkt) — both
+    * sides already partition-compatible, results identical.
+    */
+  private[graft] var PackOffsetBroadcastCap = 1L << 20
+
   def packSequences(spark: SparkSession, dir: String, window: Int = 512): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Bucket width in doc_id space (ids need not be dense — empty buckets
-    // simply don't exist; uneven buckets only skew task sizes, never
-    // results). 64k keeps the bucket-total frame metadata-sized at any
-    // plausible id range while giving each shard ≥ corpus/64k-way
-    // parallelism.
-    val B = 65536
+    val B = PackBucketWidth
     // The slim (doc_id, source, tc, bkt) frame is CACHED: the cumsum
     // branch and the bucket-offset branch both consume it, and without a
     // materialization barrier column pruning specializes each branch's
@@ -110,7 +126,17 @@ object Pipeline {
       .agg(sum(col("tc")).as("bsum"))
       .withColumn("boff", coalesce(sum(col("bsum")).over(wBkt), lit(0L)))
       .select(col("source"), col("bkt"), col("boff"))
-    local.join(broadcast(offs), Seq("source", "bkt"))
+    // Broadcast under the cap (the overwhelmingly common case: offsets are
+    // metadata-grain); a dense-id mega-corpus whose offset frame overflows
+    // it joins by shuffle instead. The count scans only the cached slim
+    // frame's agg, not the corpus.
+    val offsC = tracked(offs)
+    val offsSide =
+      if (offsC.count() <= PackOffsetBroadcastCap) broadcast(offsC)
+      // merge hint: an over-cap frame must never reach the driver even if
+      // the planner's size estimate disagrees with the cap.
+      else offsC.hint("merge")
+    local.join(offsSide, Seq("source", "bkt"))
       .withColumn("cum", col("lcum") + col("boff"))
       .withColumn("bin", expr(s"cum DIV $window"))
       .groupBy(col("source"), col("bin"))

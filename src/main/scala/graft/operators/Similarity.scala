@@ -666,10 +666,26 @@ object Similarity {
     * natural hot-cluster tail, not the mean. A spec seam (var) lets tests
     * force every cluster through the cell route and pin the two routes'
     * results identical.
+    *
+    * The 20,000 base is calibrated at [[SemGridRefDim]] = 64 dims; both
+    * the single-task FLOP count (T²/2 · dim) and the gather bytes scale
+    * with dim, so the EFFECTIVE threshold is work-based: T(dim) =
+    * base · √(refDim/dim) keeps the largest whole-cluster task at the
+    * same ~1.3e10-FMA budget at any embedding width (dim 768 → ~5,700;
+    * dim 1536 → ~4,000). Gather memory per task then grows only as
+    * √dim (T·dim floats).
     */
   private[graft] var SemGridMinCluster = 20000L
+  private[graft] val SemGridRefDim = 64
+  private[graft] def semGridMinCluster(dim: Int): Long =
+    // Floor at 256 so an absurd dim can't route toy clusters through the
+    // grid — but never above the base itself, which keeps the force-grid
+    // spec seam (base = 0 → every cluster through the cell kernel) intact.
+    math.max(math.min(SemGridMinCluster, 256L), (SemGridMinCluster *
+      math.sqrt(SemGridRefDim.toDouble / math.max(1, dim))).toLong)
 
-  /** Session memo of [[semanticDedup]]'s slim cached index reads, keyed by
+  /** Session memo of [[semanticDedup]]'s slim cached index reads (plus the
+    * corpus embedding dim, read off the index centroids), keyed by
     * (session, corpus dir, nlist): re-invocations (bench pass-min, repeated
     * API calls) reuse ONE DataFrame — and therefore one InMemoryFileIndex
     * listing of the nlist cluster directories — instead of re-listing per
@@ -677,7 +693,7 @@ object Similarity {
     * measured chunk of the 31×/decade residual).
     */
   private val semSlims = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (SparkSession, String), (DataFrame, Int)]()
 
   def semanticDedup(spark: SparkSession, dir: String, tau: Double = 0.45,
       nlist: Int = 0, nBlocks: Int = 4): DataFrame = {
@@ -688,15 +704,17 @@ object Similarity {
     // branch below (small a/b, big a/b) and every later invocation: the
     // un-cached formulation paid a FileScan over nlist partition dirs —
     // plus its InMemoryFileIndex listing — per join side per call.
-    val slim = semSlims.computeIfAbsent((spark, s"$dir#$nlistEff"), { _ =>
-      val (idx, _) = ivfIndexed(spark, dir, nlistEff)
-      tracked(idx.select(col("cluster"), col("vec_id"), col("embedding"), col("nrm")))
+    val (slim, dim) = semSlims.computeIfAbsent((spark, s"$dir#$nlistEff"), { _ =>
+      val (idx, cents) = ivfIndexed(spark, dir, nlistEff)
+      (tracked(idx.select(col("cluster"), col("vec_id"), col("embedding"), col("nrm"))),
+        cents.headOption.map(_._2.length).getOrElse(SemGridRefDim))
     })
+    val gridMin = semGridMinCluster(dim)
     // Cluster sizes are index metadata (nlist rows): derive once from the
     // cached frame, broadcast back on, and route each cluster by size.
     val sizes = slim.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
     val n = slim.join(broadcast(sizes), "cluster")
-    // SMALL clusters (≤ SemGridMinCluster — with k ∝ n, essentially all of
+    // SMALL clusters (≤ the dim-scaled gridMin — with k ∝ n, essentially all
     // them): ONE shuffle gathers each cluster's members into an array and
     // the m²/2 within-cluster dots run inside the [[graft.functions
     // .SemanticPairStats]] kernel — a primitive loop over the cluster's
@@ -708,7 +726,7 @@ object Similarity {
     // shuffle. Per-task memory is one cluster's members, capped by the
     // routing threshold; rounding parity with the grid route (and the
     // DuckDB oracle) is spec-pinned by the forced-grid equivalence test.
-    val small = n.filter(col("csize") <= SemGridMinCluster)
+    val small = n.filter(col("csize") <= gridMin)
     val smallStats = small
       .select(col("cluster"),
         struct(col("vec_id"), col("embedding"), col("nrm")).as("mrow"))
@@ -739,7 +757,7 @@ object Similarity {
     // the cell frame is only hot-clusters × NB(NB+1)/2 rows, and without
     // it AQE coalesces those few fat rows into one task (observed: a
     // single thread grinding all four blob cells).
-    val big = n.filter(col("csize") > SemGridMinCluster)
+    val big = n.filter(col("csize") > gridMin)
       .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)))
     val blocks = big
       .groupBy(col("cluster"), col("blk"))

@@ -418,10 +418,16 @@ object Text {
     // ([[graft.functions.TokenRuns]]) — the former formulation staged the
     // same collapse through three interpreted HOF lambdas (array_sort →
     // run-starts filter → transform(sequence)), the residual cold-path
-    // leader at 5M docs. tracked() is the materialization barrier: the
-    // runs array is computed exactly once per doc, and downstream
-    // consumers (explode + aggregations) land on the CACHED column.
-    val perDoc = tracked(graft.Tables.spread(documents(spark, dir))
+    // leader at 5M docs. The cache is the materialization barrier (the
+    // runs array is computed exactly once per doc; explode + aggregations
+    // land on the CACHED column) and is CORPUS-SIZED — registered via
+    // buildTracked so that when this runs inside the DerivedState
+    // 'rarity-vocab' build it is released the moment the vocab write
+    // commits (the fused route never reads it again); outside a build
+    // (join-route fallback, testDocTok probes) it lands in this suite's
+    // registry as before.
+    val perDoc = graft.DerivedState.buildTracked(caches)(
+      graft.Tables.spread(documents(spark, dir))
       .select(col("doc_id"), org.apache.spark.sql.GraftSql.column(
         graft.functions.TokenRuns(
           org.apache.spark.sql.GraftSql.expression(col("text")))).as("runs")))

@@ -135,6 +135,53 @@ object CdcStream {
       unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
   }
 
+  /** State key grain of a stateful stream op — the variable that sizes its
+    * state-store partition count. The partition count is pinned per query
+    * at start time from `spark.sql.shuffle.partitions`, and each state
+    * partition costs a store instance + commit per microbatch, so the
+    * default must follow the STATE KEY's cardinality, not one global
+    * number:
+    *
+    *  - [[NarrowKeys]] — channel/task/window/collection-grain state (a few
+    *    dozen keys at most). More partitions than keys is pure
+    *    per-microbatch commit overhead; default 4.
+    *  - [[StreamKeys]] — event/PK-grain state whose cardinality tracks the
+    *    stream itself (`dropDuplicates(event_id)`-style). Here state-store
+    *    hashing/commit work scales with ROWS, so parallelism should track
+    *    the executor CPUs: measured at the 100M-event corpus,
+    *    replay-dedup was 70.2 s at 4 partitions vs 34.8 s at 16 — and
+    *    widening CHANNELS (4 → 64) made it WORSE (79.1 s), confirming the
+    *    stream key, not the channel width, is the sizing variable. On a
+    *    real cluster this scales with total executor cores.
+    *
+    * `SPARK_GRAFT_STREAM_PARTITIONS` overrides BOTH grains (the cluster
+    * operator's knob); the per-op grain is only the default.
+    */
+  private[graft] sealed trait KeyGrain
+  private[graft] case object NarrowKeys extends KeyGrain
+  private[graft] case object StreamKeys extends KeyGrain
+  /** State keyed by a runtime-known cardinality (e.g. channel count):
+    * partitions = min(cardinality, CPUs) — more partitions than keys is
+    * waste, fewer than min(keys, cores) serializes distinct keys' folds
+    * behind each other.
+    */
+  private[graft] final case class Keyed(cardinality: Int) extends KeyGrain
+
+  private[graft] def stateParts(grain: KeyGrain): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse {
+      val cpus = Runtime.getRuntime.availableProcessors
+      grain match {
+        case NarrowKeys => 4
+        case StreamKeys => math.min(cpus, 32)
+        case Keyed(n) => math.max(1, math.min(n, math.min(cpus, 32)))
+      }
+    }
+
+  /** Partition count the most recent drain ran with — spec seam pinning
+    * that each op's drain actually applies its grain's sizing.
+    */
+  @volatile private[graft] var lastStateParts: Int = -1
+
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the materialized table (bounded input → the stream drains and stops).
     *
@@ -145,20 +192,15 @@ object CdcStream {
     * before stopping.
     */
   private def drain(df: DataFrame, mode: String,
-      awaitNoDataBatch: Boolean = false): DataFrame = {
+      awaitNoDataBatch: Boolean = false,
+      grain: KeyGrain = NarrowKeys): DataFrame = {
     val name = s"graft_stream_${nameSeq.incrementAndGet()}"
-    // State-store partition count is pinned per query at start time from
-    // spark.sql.shuffle.partitions. Size it to the STREAM's key cardinality
-    // (channels/PKs), not the batch engine's CPU count: every state
-    // partition costs a store instance + commit per microbatch, which
-    // dominates small-delta batches. On a cluster this knob scales with
-    // executors × keys, independently of the batch setting.
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf
       .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
-    spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+    lastStateParts = stateParts(grain)
+    spark.conf.set("spark.sql.shuffle.partitions", lastStateParts.toString)
     // A bounded drain needs the post-data no-data microbatch ONLY when the
     // sink's emission is watermark-driven (append-mode windowed aggs); for
     // update/complete folds and data-batch-emitting append queries it is a
@@ -191,6 +233,11 @@ object CdcStream {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       deleteRecursive(ckpt.toFile) // drained = done; the WAL is scratch
+      // Eagerly drop the finished query's cached state-store providers:
+      // they pin the final state version on the heap until the minutely
+      // maintenance sweep, and a following drain pays for that dead state
+      // in GC (see GraftSql.unloadStateStores).
+      org.apache.spark.sql.GraftSql.unloadStateStores()
     }
     df.sparkSession.table(name)
   }
@@ -206,7 +253,8 @@ object CdcStream {
     * read). The returned frame reads the drain dir, so consume it before
     * [[dropSinks]] cleans the dir.
     */
-  private def drainParquet(df: DataFrame, mode: String = "append"): DataFrame = {
+  private def drainParquet(df: DataFrame, mode: String = "append",
+      grain: KeyGrain = NarrowKeys): DataFrame = {
     val spark = df.sparkSession
     val dir = java.nio.file.Files.createTempDirectory(scratchRoot, "graft-drain-").toFile
     dir.deleteOnExit()
@@ -214,8 +262,8 @@ object CdcStream {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = spark.conf
       .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    val streamParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
-    spark.conf.set("spark.sql.shuffle.partitions", streamParts)
+    lastStateParts = stateParts(grain)
+    spark.conf.set("spark.sql.shuffle.partitions", lastStateParts.toString)
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val ckpt = java.nio.file.Files.createTempDirectory(scratchRoot, "graft-ckpt-")
     try {
@@ -231,6 +279,8 @@ object CdcStream {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       deleteRecursive(ckpt.toFile)
+      // Same eager provider release as the memory-sink drain.
+      org.apache.spark.sql.GraftSql.unloadStateStores()
     }
     // Explicit schema: a zero-row emission leaves the dir with no parquet
     // files, where schema inference throws — the empty-frame answer the
@@ -287,7 +337,10 @@ object CdcStream {
       .as[Ev]
     val folded = evs.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(foldPk)
-    pkRowsToSnapshot(drainParquet(folded.toDF(), mode = "update"))
+    // PK-grain state: cardinality = the entity population (stream-like,
+    // not a fixed handful of channels) → [[StreamKeys]] sizing.
+    pkRowsToSnapshot(drainParquet(folded.toDF(), mode = "update",
+      grain = StreamKeys))
   }
 
   /** End-to-end replication: the live fold streamed into a parquet
@@ -557,8 +610,10 @@ object CdcStream {
       .dropDuplicates("event_id", "ts")
     // Parquet drain: the deduped emission is stream-sized (one row per
     // surviving event) — keep it off the driver; the per-channel count
-    // runs as a parallel scan over the drained files.
-    drainParquet(deduped)
+    // runs as a parallel scan over the drained files. State is keyed at
+    // EVENT grain ((event_id, ts) — cardinality = the stream, not the
+    // channels), so the state store sizes to [[StreamKeys]].
+    drainParquet(deduped, grain = StreamKeys)
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("dedup_cnt"))
   }
@@ -636,7 +691,9 @@ object CdcStream {
     // (one per PackMaxCount messages) — at 100M events the memory sink's
     // collect-to-driver blew spark.driver.maxResultSize (4 × ~277 MB task
     // results); the parquet drain keeps the emission distributed, same as
-    // stream_kafka_format's per-event projection.
-    drainParquet(packs.toDF())
+    // stream_kafka_format's per-event projection. State is one open pack
+    // per CHANNEL → size partitions to the channel count (capped at
+    // cores), never above it.
+    drainParquet(packs.toDF(), grain = Keyed(graft.cdc.Cdc.NumChannels))
   }
 }

@@ -260,6 +260,25 @@ class SimilaritySpec extends SparkSpec {
     } finally Similarity.SemGridMinCluster = default
   }
 
+  test("dedup_semantic routing threshold scales with embedding dimension") {
+    import Similarity.semGridMinCluster
+    // Calibration point: at the reference dim the base applies unchanged.
+    assert(semGridMinCluster(64) === 20000L)
+    // Work-based scaling: T(dim) = base·√(64/dim) keeps the largest
+    // whole-cluster task at a constant FMA budget across widths.
+    assert(semGridMinCluster(256) === 10000L)
+    assert(semGridMinCluster(768) === 5773L)
+    assert(semGridMinCluster(1536) === 4082L)
+    // Monotone in dim, floored, and the force-grid seam survives.
+    assert(semGridMinCluster(1 << 20) === 256L)
+    val default = Similarity.SemGridMinCluster
+    try {
+      Similarity.SemGridMinCluster = 0L
+      assert(semGridMinCluster(64) === 0L,
+        "base=0 must still force every cluster through the cell route")
+    } finally Similarity.SemGridMinCluster = default
+  }
+
   test("dedup_semantic grid: per-task pair work is bounded by sub-block products") {
     // Direct bound check: with NB blocks, no single join-key group may
     // hold more than ceil(|c|/NB) rows per side — the quadratic-per-task

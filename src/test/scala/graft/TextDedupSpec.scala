@@ -318,6 +318,39 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("derived state rebuilds when the corpus is regenerated in place") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("derived-stale-").toFile
+    val corpus = Files.createTempDirectory("corpus-stale-").toFile
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    def writeCorpus(n: Long): Unit =
+      spark.range(n).selectExpr("id as doc_id", "'x y z' as text")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(corpus, "documents.parquet").getPath)
+    def frame() = graft.DerivedState.materialized(spark, corpus.getPath, "stale-spec")(
+      spark.read.parquet(new java.io.File(corpus, "documents.parquet").getPath))
+    try {
+      graft.DerivedState.rootOverride = Some(root.getPath)
+      graft.DerivedState.reset()
+      writeCorpus(10)
+      assert(frame().count() === 10L)
+      // Regenerate the corpus IN PLACE (same path, new contents). A fresh
+      // session against the same durable root must REBUILD — the staleness
+      // fingerprint in the key stops the 10-row frame from being served.
+      Thread.sleep(10) // ensure an mtime tick even on coarse filesystems
+      writeCorpus(7)
+      graft.DerivedState.reset()
+      assert(frame().count() === 7L,
+        "stale derived frame served after in-place corpus regeneration")
+    } finally {
+      graft.DerivedState.rootOverride = None
+      graft.DerivedState.reset()
+      rm(root); rm(corpus)
+    }
+  }
+
   test("dedup pair cache: a durable SPARK_GRAFT_DEDUP_DIR is reused by a later session, not rebuilt") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("dedup-reuse-").toFile
@@ -515,6 +548,43 @@ class TextDedupSpec extends SparkSpec {
     assert(got.size > spark.read.parquet(s"$sfDir/documents.parquet")
       .select("source").distinct().count(),
       "window must be small enough that shards span multiple bins")
+  }
+
+  test("pack replay holds across bucket widths and the non-broadcast offset fallback") {
+    import graft.operators.Pipeline
+    def rows() = Pipeline.packSequences(spark, sfDir, 512).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val base = rows()
+    // Tiny bucket width: the spec corpus's doc_ids now span MANY buckets
+    // per source, so the bucket-offset arm (boff window + offset join)
+    // actually runs — at the default 64k width every spec doc_id falls in
+    // bucket 0 and lcum alone carries the answer.
+    val prevB = Pipeline.PackBucketWidth
+    val prevCap = Pipeline.PackOffsetBroadcastCap
+    try {
+      Pipeline.PackBucketWidth = 4L
+      val multiBucket = Pipeline.packSequences(spark, sfDir, 512)
+      val nBkts = multiBucket.sparkSession.read
+        .parquet(s"$sfDir/documents.parquet")
+        .selectExpr("count(distinct source, doc_id DIV 4)").collect()(0).getLong(0)
+      assert(nBkts > spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("source").distinct().count(),
+        "width=4 must produce multiple buckets per source or the arm is still dead")
+      assert(rows() == base, "bucket width must never change results")
+      // Cap=0 forces the offset frame past the broadcast cap: the offsets
+      // must join by shuffle (no broadcast of offs) with identical rows.
+      Pipeline.PackOffsetBroadcastCap = 0L
+      val fb = Pipeline.packSequences(spark, sfDir, 512)
+      val plan = fb.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"over-cap offsets must not broadcast:\n${plan.take(1200)}")
+      assert(rows() == base, "fallback join must be result-identical")
+    } finally {
+      Pipeline.PackBucketWidth = prevB
+      Pipeline.PackOffsetBroadcastCap = prevCap
+      Pipeline.clearCaches()
+    }
   }
 
   test("pipeline_pack_sequences window is shard-partitioned, never a global-order window") {
