@@ -1157,8 +1157,23 @@ object Cdc {
     * PackerReference fold.
     */
   private[graft] def msgpackBatchFrom(msgs: DataFrame, maxCount: Int,
-      maxBytes: Long): DataFrame = {
-    val bucketSize = 4096L
+      maxBytes: Long): DataFrame =
+    // Bucket width scales with channel width, capped at 64k: event_ids
+    // interleave across channels, so a (channel, bucket) group holds
+    // ~bucketSize/channels rows — a fixed 4096 at 256 channels means
+    // 16-row groups (6.2M of them at 100M events) and a bucket-stats
+    // frame 64x bigger than needed. Same-session width A/B at 100M
+    // events (ProbeMsgpackBuckets; results width-invariant by signature):
+    // ch256 — 4096: 20-36 s, 65536: ~22 s stable, 262144: 33-36 s (too
+    // few groups per channel throttles the row-level sort parallelism);
+    // ch4 — 4096 and 65536 equal within noise. 64k is the stable choice
+    // across widths; the cap keeps ≥ range/64k buckets of parallelism.
+    msgpackBatchFromWidth(msgs, maxCount, maxBytes,
+      math.min(65536L, 4096L * math.max(1L, NumChannels / 4L)))
+
+  /** [[msgpackBatchFrom]] with an explicit bucket width — probe seam. */
+  private[graft] def msgpackBatchFromWidth(msgs: DataFrame, maxCount: Int,
+      maxBytes: Long, bucketSize: Long): DataFrame = {
     val e = msgs
       .withColumn("bucket", col("event_id") - pmod(col("event_id"), lit(bucketSize)))
       .withColumn("ov", (col("sz") > maxBytes).cast("long"))
