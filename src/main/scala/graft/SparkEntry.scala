@@ -222,18 +222,35 @@ object SparkEntry {
         |  SELECT CAST(user_id % 4 AS BIGINT) AS channel,
         |    CAST(max(ts) AS TIMESTAMP) AS channel_max_ts, count(*) AS channel_cnt
         |  FROM events GROUP BY 1) t""".stripMargin,
+    // crossings restated as the LINEAR forward union-as-of (probes sort
+    // before events at equal ts, min event-ts over the following frame =
+    // first event at-or-after the DDL) — the inequality-join form is
+    // quadratic in DuckDB exactly as in Spark and burned 8+ CPU-hours at
+    // the 100M-event corpus; same restatement seek_asof got in round 6.
     "cdc_barrier_ts" ->
-      """WITH ddls AS (
+      """WITH ddls AS MATERIALIZED (
         |  SELECT event_id AS ddl_id, ts AS ddl_ts FROM events
         |  WHERE event_type = 'signup' AND event_id % 500 = 0),
-        |ch AS (SELECT user_id % 4 AS channel, ts FROM events),
+        |q AS (SELECT ddl_id, ddl_ts, channel
+        |      FROM ddls, unnest(generate_series(0, 3)) AS c(channel)),
+        |e AS (SELECT CAST(user_id % 4 AS BIGINT) AS channel, ts FROM events),
+        |u AS (
+        |  SELECT channel, ts, 0 AS is_probe, ts AS ev_ts, NULL::BIGINT AS ddl_id FROM e
+        |  UNION ALL
+        |  SELECT channel, ddl_ts AS ts, 1 AS is_probe, NULL AS ev_ts, ddl_id FROM q),
+        |r AS (
+        |  SELECT channel, is_probe, ddl_id,
+        |    min(ev_ts) OVER (PARTITION BY channel ORDER BY ts, is_probe DESC
+        |                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS first_crossing
+        |  FROM u),
         |crossings AS (
-        |  SELECT ddl_id, ddl_ts, channel, min(ts) AS first_crossing
-        |  FROM ch JOIN ddls ON ts >= ddl_ts
-        |  GROUP BY ddl_id, ddl_ts, channel)
-        |SELECT ddl_id, CAST(ddl_ts AS TIMESTAMP) AS ddl_ts,
-        |  CAST(max(first_crossing) AS TIMESTAMP) AS barrier_ts
-        |FROM crossings GROUP BY ddl_id, ddl_ts HAVING count(*) = 4""".stripMargin,
+        |  SELECT ddl_id, channel, first_crossing
+        |  FROM r WHERE is_probe = 1 AND first_crossing IS NOT NULL)
+        |SELECT c.ddl_id, CAST(d.ddl_ts AS TIMESTAMP) AS ddl_ts,
+        |  CAST(max(c.first_crossing) AS TIMESTAMP) AS barrier_ts
+        |FROM crossings c JOIN ddls d ON c.ddl_id = d.ddl_id
+        |GROUP BY c.ddl_id, d.ddl_ts HAVING count(*) = 4""".stripMargin,
     "cdc_ordering_audit" ->
       """SELECT channel, count(*) FILTER (WHERE ts < prev_max) AS out_of_order,
         |  count(*) AS total
@@ -842,18 +859,30 @@ object SparkEntry {
         |  coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
         |  d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS is_canonical
         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id""".stripMargin,
+    // Same linear union-as-of crossings as cdc_barrier_ts (see its note).
     "cdc_ddl_apply" ->
-      """WITH ddls AS (
+      """WITH ddls AS MATERIALIZED (
         |  SELECT event_id AS ddl_id, ts AS ddl_ts FROM events
         |  WHERE event_type = 'signup' AND event_id % 500 = 0),
-        |ch AS (SELECT user_id % 4 AS channel, ts FROM events),
+        |q AS (SELECT ddl_id, ddl_ts, channel
+        |      FROM ddls, unnest(generate_series(0, 3)) AS c(channel)),
+        |e AS (SELECT CAST(user_id % 4 AS BIGINT) AS channel, ts FROM events),
+        |u AS (
+        |  SELECT channel, ts, 0 AS is_probe, ts AS ev_ts, NULL::BIGINT AS ddl_id FROM e
+        |  UNION ALL
+        |  SELECT channel, ddl_ts AS ts, 1 AS is_probe, NULL AS ev_ts, ddl_id FROM q),
+        |r AS (
+        |  SELECT channel, is_probe, ddl_id,
+        |    min(ev_ts) OVER (PARTITION BY channel ORDER BY ts, is_probe DESC
+        |                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS first_crossing
+        |  FROM u),
         |crossings AS (
-        |  SELECT ddl_id, ddl_ts, channel, min(ts) AS first_crossing
-        |  FROM ch JOIN ddls ON ts >= ddl_ts
-        |  GROUP BY ddl_id, ddl_ts, channel),
+        |  SELECT ddl_id, channel, first_crossing
+        |  FROM r WHERE is_probe = 1 AND first_crossing IS NOT NULL),
         |bar AS (
         |  SELECT ddl_id, max(first_crossing) AS barrier_ts
-        |  FROM crossings GROUP BY ddl_id, ddl_ts HAVING count(*) = 4),
+        |  FROM crossings GROUP BY ddl_id HAVING count(*) = 4),
         |ops AS (
         |  SELECT ddl_id, barrier_ts,
         |    CAST((ddl_id // 500) % 3 AS BIGINT) AS collection_id,
