@@ -64,9 +64,18 @@ fi
 # fresh heap serialize on mmap_lock (measured: replay_dedup passes
 # 36/161/24/26/25/27 s — the one mid-growth pass is 6x; vmstat showed
 # sys=60-90% for its duration with steal=0). BENCH_PRETOUCH=0 opts out.
+# Pretouch physically commits the whole heap at JVM start — on a box with
+# less free RAM than the heap that is an instant OOM-kill where the lazy
+# -Xmx-only config survived. Gate the DEFAULT on MemAvailable (heap + 4 GB
+# headroom); an explicit BENCH_PRETOUCH=1/0 always wins.
 PRETOUCH=""
-if [ "${BENCH_PRETOUCH:-1}" = "1" ]; then
-  PRETOUCH="-Xms${BENCH_XMX:-96g} -XX:+AlwaysPreTouch"
+if [ "${BENCH_PRETOUCH:-auto}" != "0" ]; then
+  _xmx="${BENCH_XMX:-96g}"
+  _xmx_kb=$(( $(echo "${_xmx%[gG]}") * 1024 * 1024 ))
+  _avail_kb=$(awk '/MemAvailable/ {print $2}' /proc/meminfo)
+  if [ "${BENCH_PRETOUCH:-}" = "1" ] || [ "$_avail_kb" -ge $(( _xmx_kb + 4194304 )) ]; then
+    PRETOUCH="-Xms${_xmx} -XX:+AlwaysPreTouch"
+  fi
 fi
 java $JOPTS -Xmx${BENCH_XMX:-96g} $PRETOUCH -Djava.io.tmpdir="$SCRATCH" \
   -Dspark.cleaner.periodicGC.interval="${BENCH_GC_INTERVAL:-90s}" \

@@ -32,10 +32,14 @@ def main(vout, sfdir):
     # Scale spot-checks (100M-row corpora): an in-memory DuckDB has no
     # temp_directory, so a heavy oracle grows unbounded (observed 91 GB RSS
     # at events1000x) instead of spilling. Opt-in via env.
+    # SET doesn't take bind parameters in DuckDB — escape quotes instead,
+    # so a quote in the env value can't break out of the literal.
+    def q(v):
+        return "'" + v.replace("'", "''") + "'"
     if os.environ.get("CHECK_DUCKDB_TMP"):
-        con.execute(f"SET temp_directory='{os.environ['CHECK_DUCKDB_TMP']}'")
+        con.execute(f"SET temp_directory={q(os.environ['CHECK_DUCKDB_TMP'])}")
     if os.environ.get("CHECK_DUCKDB_MEM"):
-        con.execute(f"SET memory_limit='{os.environ['CHECK_DUCKDB_MEM']}'")
+        con.execute(f"SET memory_limit={q(os.environ['CHECK_DUCKDB_MEM'])}")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):

@@ -344,7 +344,15 @@ def write_embeddings_highdim(emb):
     hv = (vid[:, None] * 2654435761 + dims[None, :] * 40503) % (1 << 31)
 
     def prn(salt):
-        return ((hv + salt * 2246822519) * 2654435761 % (1 << 31)) \
+        # uint64 on purpose: the multiply WRAPS (it's a multiplicative
+        # hash). In int64 numpy wraps too, but silently — unadvertised
+        # signed-overflow behavior that future numpy promotion rules may
+        # warn on or change. uint64 wraparound is defined, and the final
+        # % 2^31 reads the same low bits either way, so outputs are
+        # bit-identical to the original formulation.
+        h = (hv.astype(np.uint64) + np.uint64(salt) * np.uint64(2246822519)) \
+            * np.uint64(2654435761)
+        return (h % np.uint64(1 << 31)).astype(np.float64) \
             / float(1 << 30) - 1.0
 
     tiled0 = (np.tile(base, (1, HD_DIM_TILE))

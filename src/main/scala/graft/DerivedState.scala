@@ -102,6 +102,35 @@ private[graft] object DerivedState {
     */
   def reset(): Unit = { dirs.clear(); fps.clear() }
 
+  /** After a successful (re)build, delete sibling frame dirs for the SAME
+    * (corpus, tag) under a DIFFERENT fingerprint: the key embeds the
+    * fingerprint, so they can never be read again, and each in-place
+    * corpus regeneration would otherwise leak one dead frame dir in the
+    * durable root forever. Matching is exact-shape — `ck#<12-hex>#tag` —
+    * so other corpora's and other tags' frames (including tags that are
+    * suffixes of each other: the middle segment must be pure fingerprint
+    * hex) are never touched. Runs under the build's per-key lock; a
+    * concurrent session still reading an old-fingerprint frame implies
+    * the corpus changed under IT — already incorrect, not made worse.
+    */
+  private def gcStale(root: java.io.File, ck: String, fp: String,
+      tag: String): Unit = {
+    val pfx = s"$ck#"
+    val sfx = s"#$tag"
+    Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      val n = f.getName
+      if (f.isDirectory && n.startsWith(pfx) && n.endsWith(sfx) &&
+          n.length > pfx.length + sfx.length &&
+          n != s"$ck#$fp$sfx" &&
+          n.substring(pfx.length, n.length - sfx.length).matches("[0-9a-f]{12}")) {
+        def rm(g: java.io.File): Unit = {
+          Option(g.listFiles()).foreach(_.foreach(rm)); g.delete(): Unit
+        }
+        rm(f)
+      }
+    }
+  }
+
   /** The materialized frame for (corpus `dir`, `tag`), building it with
     * `build` exactly once per (root, dir, tag) per session if no durable
     * copy exists. Returns an UN-cached parquet read — callers wrap it in
@@ -116,7 +145,8 @@ private[graft] object DerivedState {
       val lock = locks.computeIfAbsent(key, _ => new Object)
       lock.synchronized {
         Option(dirs.get(key)).getOrElse {
-          val d = new java.io.File(root, s"${Tables.corpusKey(dir)}#$fp#$tag")
+          val ck = Tables.corpusKey(dir)
+          val d = new java.io.File(root, s"$ck#$fp#$tag")
           if (!new java.io.File(d, "_SUCCESS").isFile) {
             val reg = new CacheRegistry
             val prev = scratch.get
@@ -126,6 +156,7 @@ private[graft] object DerivedState {
               if (prev == null) scratch.remove() else scratch.set(prev)
               reg.clear()
             }
+            gcStale(new java.io.File(root), ck, fp, tag)
           }
           dirs.put(key, d.getPath)
           d.getPath

@@ -441,29 +441,77 @@ object SemanticPairStats {
     else math.floor(t + 0.5) / 10000.0
   }
 
-  /** Unpack a members array into primitive (ids, double-widened
-    * embeddings, norms) — m·d upfront conversions buying pure-FMA pair
-    * loops (float→double is exact, so folds match [[FloatDotProduct]]).
+  /** Flat-packed members: ONE contiguous row-major double[] (ragged rows
+    * via off/len) instead of m separate heap arrays — the strip-tiled pair
+    * loops below get locality by layout, not by TLAB accident. Optionally
+    * laid out in vec_id-sorted order so [[stats]]'s "earlier" prefix is a
+    * contiguous flat prefix.
     */
-  private def unpack(members: ArrayData)
-      : (Array[Long], Array[Array[Double]], Array[Double]) = {
+  private final class Packed(val ids: Array[Long], val flat: Array[Double],
+      val off: Array[Int], val len: Array[Int], val nrms: Array[Double]) {
+    def m: Int = ids.length
+  }
+
+  /** Unpack a members array into a [[Packed]] — m·d upfront float→double
+    * conversions (exact, so folds match [[FloatDotProduct]]) buying pure-
+    * FMA pair loops over a single flat array.
+    */
+  private def unpack(members: ArrayData, sortById: Boolean): Packed = {
     val m = members.numElements()
-    val ids = new Array[Long](m)
-    val embs = new Array[Array[Double]](m)
-    val nrms = new Array[Double](m)
+    val rawIds = new Array[Long](m)
+    val fas = new Array[Array[Float]](m)
+    val rawNrms = new Array[Double](m)
     var i = 0
     while (i < m) {
       val r = members.getStruct(i, 3)
-      ids(i) = r.getLong(0)
-      val fa = r.getArray(1).toFloatArray()
-      val da = new Array[Double](fa.length)
-      var q = 0
-      while (q < fa.length) { da(q) = fa(q).toDouble; q += 1 }
-      embs(i) = da
-      nrms(i) = r.getDouble(2)
+      rawIds(i) = r.getLong(0)
+      fas(i) = r.getArray(1).toFloatArray()
+      rawNrms(i) = r.getDouble(2)
       i += 1
     }
-    (ids, embs, nrms)
+    val ord = if (sortById) Array.range(0, m).sortBy(rawIds)
+              else Array.range(0, m)
+    val ids = new Array[Long](m)
+    val nrms = new Array[Double](m)
+    val off = new Array[Int](m)
+    val len = new Array[Int](m)
+    var tot = 0
+    i = 0
+    while (i < m) {
+      val s = ord(i)
+      ids(i) = rawIds(s)
+      nrms(i) = rawNrms(s)
+      off(i) = tot
+      len(i) = fas(s).length
+      tot += fas(s).length
+      i += 1
+    }
+    val flat = new Array[Double](tot)
+    i = 0
+    while (i < m) {
+      val fa = fas(ord(i))
+      val o = off(i)
+      var q = 0
+      while (q < fa.length) { flat(o + q) = fa(q).toDouble; q += 1 }
+      i += 1
+    }
+    new Packed(ids, flat, off, len, nrms)
+  }
+
+  /** Strip width (vectors) such that one strip of embeddings is
+    * ~1.5 MB of doubles — L2-resident on any current server core. The
+    * pair loops tile over strips so a sub-block never streams from DRAM
+    * once per probe row: at dim 64 a 12k-member sub-block was ~6 MB
+    * (cache-covered by accident — why the r13 FMA floor held), at dim 768
+    * it is ~75 MB and the untiled loop turned 32 cores into a DRAM-
+    * bandwidth fight (measured 319.8 s warm vs the ~100-130 s FMA-floor
+    * model at 1M × 768-dim). Tiling restores the floor at any width;
+    * per-pair arithmetic and rounding are untouched, so results are
+    * bit-identical to the untiled loop.
+    */
+  private def stripLen(p: Packed): Int = {
+    val avgDim = math.max(1, if (p.m == 0) 1 else p.flat.length / p.m)
+    math.max(32, math.min(8192, 196608 / avgDim)) // 196608 doubles = 1.5 MB
   }
 
   /** One grid cell's partial stats — see [[SemanticCellStats]]. Diagonal
@@ -475,43 +523,63 @@ object SemanticPairStats {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     if (diag) return stats(ma, tau)
-    val (idsA, embsA, nrmsA) = unpack(ma)
-    val (idsB, embsB, nrmsB) = unpack(mb)
-    val na = idsA.length
-    val nb = idsB.length
+    val pa = unpack(ma, sortById = false)
+    val pb = unpack(mb, sortById = false)
+    val na = pa.m
+    val nb = pb.m
     val band = tau - 1e-4
     val nEa = new Array[Long](na)
     val mxA = Array.fill(na)(Double.NegativeInfinity)
     val nEb = new Array[Long](nb)
     val mxB = Array.fill(nb)(Double.NegativeInfinity)
-    var i = 0
-    while (i < na) {
-      val ea = embsA(i)
-      val ni = nrmsA(i)
-      val ida = idsA(i)
-      var j = 0
-      while (j < nb) {
-        val eb = embsB(j)
-        val n = math.min(ea.length, eb.length)
-        var acc = 0.0
-        var k = 0
-        while (k < n) { acc += ea(k) * eb(k); k += 1 }
-        val cos = acc / (ni * nrmsB(j))
-        if (cos >= band) {
-          val r = round4(cos)
-          if (r >= tau) {
-            if (ida < idsB(j)) {
-              nEb(j) += 1L
-              if (r > mxB(j)) mxB(j) = r
-            } else {
-              nEa(i) += 1L
-              if (r > mxA(i)) mxA(i) = r
+    val fA = pa.flat; val offA = pa.off; val lenA = pa.len
+    val fB = pb.flat; val offB = pb.off; val lenB = pb.len
+    val idsA = pa.ids; val idsB = pb.ids
+    val nrmsA = pa.nrms; val nrmsB = pb.nrms
+    // Tile the cross product into L2-resident strip pairs (see
+    // [[stripLen]]): the outer A-strip stays cached while B-strips stream
+    // through it, so DRAM traffic is O(na·nb·dim/S) not O(na·nb·dim).
+    val sA = stripLen(pa)
+    val sB = stripLen(pb)
+    var as0 = 0
+    while (as0 < na) {
+      val ae = math.min(as0 + sA, na)
+      var bs0 = 0
+      while (bs0 < nb) {
+        val be = math.min(bs0 + sB, nb)
+        var i = as0
+        while (i < ae) {
+          val oi = offA(i)
+          val li = lenA(i)
+          val ni = nrmsA(i)
+          val ida = idsA(i)
+          var j = bs0
+          while (j < be) {
+            val oj = offB(j)
+            val n = math.min(li, lenB(j))
+            var acc = 0.0
+            var k = 0
+            while (k < n) { acc += fA(oi + k) * fB(oj + k); k += 1 }
+            val cos = acc / (ni * nrmsB(j))
+            if (cos >= band) {
+              val r = round4(cos)
+              if (r >= tau) {
+                if (ida < idsB(j)) {
+                  nEb(j) += 1L
+                  if (r > mxB(j)) mxB(j) = r
+                } else {
+                  nEa(i) += 1L
+                  if (r > mxA(i)) mxA(i) = r
+                }
+              }
             }
+            j += 1
           }
+          i += 1
         }
-        j += 1
+        bs0 += sB
       }
-      i += 1
+      as0 += sA
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
     def emit(ids: Array[Long], ne: Array[Long], mx: Array[Double]): Unit = {
@@ -539,61 +607,62 @@ object SemanticPairStats {
   def stats(members: ArrayData, tau: Double): ArrayData = {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val m = members.numElements()
-    val ids = new Array[Long](m)
-    // Embeddings widen to double[] ONCE per member (float→double is exact,
-    // so the fold matches [[FloatDotProduct]] bit for bit) — m·d upfront
-    // conversions buy m²/2·d inner-loop iterations that are pure FMA.
-    val embs = new Array[Array[Double]](m)
-    val nrms = new Array[Double](m)
-    var i = 0
-    while (i < m) {
-      val r = members.getStruct(i, 3)
-      ids(i) = r.getLong(0)
-      val fa = r.getArray(1).toFloatArray()
-      val da = new Array[Double](fa.length)
-      var q = 0
-      while (q < fa.length) { da(q) = fa(q).toDouble; q += 1 }
-      embs(i) = da
-      nrms(i) = r.getDouble(2)
-      i += 1
-    }
-    // argsort by vec_id ascending — j's "earlier" mates are exactly the
-    // sorted prefix before j.
-    val ord = Array.range(0, m).sortBy(ids)
+    // Flat-packed IN vec_id-SORTED ORDER — position pj's "earlier" mates
+    // are exactly the flat prefix before pj, and strips of sorted
+    // positions are contiguous memory.
+    val p = unpack(members, sortById = true)
+    val m = p.m
+    val flat = p.flat; val off = p.off; val len = p.len
+    val nrms = p.nrms
     val band = tau - 1e-4
     val nEarlier = new Array[Long](m) // indexed by sorted position
     val maxCos = Array.fill(m)(Double.NegativeInfinity)
-    var pj = 1
-    while (pj < m) {
-      val j = ord(pj)
-      val ej = embs(j)
-      val nj = nrms(j)
-      var pi = 0
-      while (pi < pj) {
-        val a = embs(ord(pi))
-        val n = math.min(a.length, ej.length)
-        var acc = 0.0
-        var k = 0
-        while (k < n) { acc += a(k) * ej(k); k += 1 }
-        val cos = acc / (nrms(ord(pi)) * nj)
-        if (cos >= band) {
-          val r = round4(cos)
-          if (r >= tau) {
-            nEarlier(pj) += 1L
-            if (r > maxCos(pj)) maxCos(pj) = r
+    // Triangular strip tiling (see [[stripLen]]): for each pj-strip, sweep
+    // the earlier pi-strips (dense cross blocks) then the strip's own
+    // triangle. Per-pair arithmetic/rounding identical to the untiled
+    // loop; count/max accumulation is order-free.
+    val s = stripLen(p)
+    var js0 = 0
+    while (js0 < m) {
+      val je = math.min(js0 + s, m)
+      var is0 = 0
+      while (is0 <= js0) {
+        val ie = math.min(is0 + s, m)
+        var pj = js0
+        while (pj < je) {
+          val oj = off(pj)
+          val lj = len(pj)
+          val nj = nrms(pj)
+          val hi = if (is0 == js0) pj else ie // triangle on the diagonal strip
+          var pi = is0
+          while (pi < hi) {
+            val oi = off(pi)
+            val n = math.min(len(pi), lj)
+            var acc = 0.0
+            var k = 0
+            while (k < n) { acc += flat(oi + k) * flat(oj + k); k += 1 }
+            val cos = acc / (nrms(pi) * nj)
+            if (cos >= band) {
+              val r = round4(cos)
+              if (r >= tau) {
+                nEarlier(pj) += 1L
+                if (r > maxCos(pj)) maxCos(pj) = r
+              }
+            }
+            pi += 1
           }
+          pj += 1
         }
-        pi += 1
+        is0 += s
       }
-      pj += 1
+      js0 += s
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
-    pj = 1
+    var pj = 1
     while (pj < m) {
       if (nEarlier(pj) > 0) {
         val row = new GenericInternalRow(3)
-        row.setLong(0, ids(ord(pj)))
+        row.setLong(0, p.ids(pj))
         row.setLong(1, nEarlier(pj))
         row.setDouble(2, maxCos(pj))
         out += row

@@ -757,8 +757,22 @@ object Similarity {
     // the cell frame is only hot-clusters × NB(NB+1)/2 rows, and without
     // it AQE coalesces those few fat rows into one task (observed: a
     // single thread grinding all four blob cells).
+    // Fan-out is WORK-BASED, per cluster: NB = max(nBlocks, ⌈csize /
+    // T(dim)⌉), so a sub-block never holds more than ~T(dim) members and
+    // every cell owes at most the same ~1.3e10-FMA budget the routing
+    // threshold encodes — with the fixed NB=4 a 49k blob at dim 768
+    // decomposed into only 10 cells of up to ~134 s each (measured, r15),
+    // i.e. per-cell work GREW with cluster size while the threshold
+    // shrank with dim. Member replication stays NB+1 copies per row —
+    // linear in csize, the same trade the grid already accepts. When the
+    // spec seam forces base = 0 (gridMin 0), fall back to the static
+    // nBlocks: the forced route should exercise multi-member cells, not
+    // csize singleton blocks.
+    val fanBase = if (gridMin > 0) gridMin else Long.MaxValue
     val big = n.filter(col("csize") > gridMin)
-      .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)))
+      .withColumn("nb", greatest(lit(nBlocks),
+        ceil(col("csize").cast("double") / lit(fanBase.toDouble)).cast("int")))
+      .withColumn("blk", pmod(col("vec_id"), col("nb")))
     val blocks = big
       .groupBy(col("cluster"), col("blk"))
       .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("ms"))
@@ -766,7 +780,10 @@ object Similarity {
       .join(blocks.select(col("cluster"), col("blk").as("gj"), col("ms").as("msb")),
         Seq("cluster"))
       .filter(col("gi") <= col("gj"))
-      .repartition(spark.sparkContext.defaultParallelism,
+      // 8× cores so the (few, fat) cell rows hash into mostly-solo
+      // partitions — at 32 partitions for ~90 cells the collision tail
+      // decides the wave count; empty extra tasks are ~ms each.
+      .repartition(spark.sparkContext.defaultParallelism * 8,
         col("cluster"), col("gi"), col("gj"))
     val bigStats = cells
       .select(col("cluster"), explode_outer(Vec.semanticCellStats(

@@ -276,6 +276,11 @@ class StreamMultimodalSpec extends SparkSpec {
     assert(CdcStream.stateParts(CdcStream.NarrowKeys) === 4)
     assert(CdcStream.stateParts(CdcStream.StreamKeys) === cpus)
     assert(CdcStream.stateParts(CdcStream.Keyed(2)) === math.min(2, cpus))
+    // The production vchannel width (the 256-channel bench decade): caps
+    // at cores on this box, sizes to 256 on a ≥256-core cluster. The
+    // msgpack assertion below reads Cdc.NumChannels dynamically, so a
+    // SPARK_GRAFT_CHANNELS=256 run of this suite round-trips the env too.
+    assert(CdcStream.stateParts(CdcStream.Keyed(256)) === math.min(256, cpus))
     assert(CdcStream.stateParts(CdcStream.Keyed(4096)) === cpus)
     // Per-op application, pinned via the partition count the most recent
     // drain actually ran with (this suite is the only one that drains, and

@@ -340,10 +340,26 @@ class TextDedupSpec extends SparkSpec {
       // session against the same durable root must REBUILD — the staleness
       // fingerprint in the key stops the 10-row frame from being served.
       Thread.sleep(10) // ensure an mtime tick even on coarse filesystems
+      val before = root.listFiles().map(_.getName).toSet
+      assert(before.exists(_.endsWith("#stale-spec")), "first frame dir missing")
+      // A decoy that only LOOKS like a stale sibling (different tag) and
+      // one under a different tag entirely — neither may be GC'd.
+      val decoy = new java.io.File(root,
+        before.find(_.endsWith("#stale-spec")).get + "-other")
+      decoy.mkdirs()
       writeCorpus(7)
       graft.DerivedState.reset()
       assert(frame().count() === 7L,
         "stale derived frame served after in-place corpus regeneration")
+      // The rebuild must GC the old-fingerprint sibling (one dead dir per
+      // in-place regeneration otherwise accumulates in the durable root
+      // forever) while leaving non-matching dirs alone.
+      val after = root.listFiles().map(_.getName).toSet
+      assert(after.count(_.endsWith("#stale-spec")) === 1,
+        s"stale-fingerprint sibling not GC'd: $after")
+      assert(!after.exists(before.filter(_.endsWith("#stale-spec")).contains),
+        s"old-fingerprint dir survived the rebuild: $after")
+      assert(after.contains(decoy.getName), "GC deleted a non-matching dir")
     } finally {
       graft.DerivedState.rootOverride = None
       graft.DerivedState.reset()
@@ -584,6 +600,43 @@ class TextDedupSpec extends SparkSpec {
       Pipeline.PackBucketWidth = prevB
       Pipeline.PackOffsetBroadcastCap = prevCap
       Pipeline.clearCaches()
+    }
+  }
+
+  test("packSequences construction is lazy under the cap and memoized per corpus") {
+    import graft.operators.Pipeline
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        descs.add(js.stageInfos.map(_.name).mkString("|")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // Window 257 = a memo key no other spec uses, so this really is
+      // first construction. The broadcast-vs-shuffle decision must come
+      // from the parquet FOOTER row count (docs ≤ cap ⇒ offsets ≤ cap) —
+      // constructing the frame may not run a corpus scan+tokenize job
+      // (the r15 eager-count regression: plan-only audits paid a scan).
+      val a = Pipeline.packSequences(spark, sfDir, 257)
+      Thread.sleep(500) // listener bus is async — give a stray job time to surface
+      // Schema inference ("parquet at ...") is a footer read — metadata,
+      // allowed. What must NOT appear is an ACTION (the r15 regression ran
+      // `count at Pipeline` — a corpus scan+tokenize — at construction).
+      val actions = descs.toArray.map(_.toString).filterNot(_.startsWith("parquet at"))
+      assert(actions.isEmpty,
+        s"plan construction under the cap must run no actions, ran: ${actions.mkString("; ")}")
+      // Memoized: the second call returns the SAME frame (one plan, one
+      // tracked cache entry per corpus — not one per invocation).
+      assert(a eq Pipeline.packSequences(spark, sfDir, 257),
+        "repeat invocation must reuse the memoized frame")
+      assert(a.collect().nonEmpty)
+      assert(jobs.get() > 0, "consuming the frame must of course run jobs")
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
     }
   }
 
