@@ -1338,14 +1338,20 @@ object SparkEntry {
         |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM n
         |  WHERE vec_id < (SELECT GREATEST(${Similarity.SemMinNlist},
         |    CEIL(count(*) / ${Similarity.SemClusterTarget}.0)) FROM embeddings)),
+        |-- cos is projected to a SLIM column BEFORE the row_number window:
+        |-- windowing the raw n × cents product carries both embedding lists
+        |-- through the sort (~12 KB/row — 190 GB at 140k × 768-dim, a spill
+        |-- death), while the staged form sorts (vec_id, cid, cos) only.
+        |-- Same expression, same rows — restated for DuckDB memory only.
+        |sc AS (SELECT n.vec_id, cid,
+        |    list_sum(list_transform(list_zip(n.embedding, ce),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * cn) AS cos
+        |  FROM n, cents),
         |assign AS (
         |  SELECT vec_id, cluster FROM (
-        |    SELECT n.vec_id, cid AS cluster,
-        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(n.embedding, ce),
-        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (n.nrm * cn) DESC,
-        |        cid ASC) AS rn
-        |    FROM n, cents) t WHERE rn = 1),
+        |    SELECT vec_id, cid AS cluster,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |    FROM sc) t WHERE rn = 1),
         |pr AS (
         |  SELECT a2.vec_id AS vec_id, a1.cluster AS cluster,
         |    round(list_sum(list_transform(list_zip(n1.embedding, n2.embedding),

@@ -38,6 +38,17 @@ object Verify {
     sys.env.get("SPARK_GRAFT_SEM_GRID_MIN").foreach { v =>
       graft.operators.Similarity.SemGridMinCluster = v.toLong
     }
+    // Dev knob (driver never sets it): SPARK_GRAFT_COARSE_MIN=n overrides
+    // the two-level coarse-assignment threshold. The coarse quantizer is a
+    // RECALL knob by contract (cell-boundary vectors may land off the
+    // exact argmax) and the oracle states exact argmax — so a corpus whose
+    // auto-nlist exceeds CoarseMinNlist (first seen: 140k × 768-dim,
+    // nlist 112) can only be VALUE-checked with the coarse path disabled
+    // (set it above nlist); the coarse path's agreement is measured
+    // separately (SimilaritySpec + the TESTDATA corpus notes).
+    sys.env.get("SPARK_GRAFT_COARSE_MIN").foreach { v =>
+      graft.operators.Similarity.CoarseMinNlist = v.toInt
+    }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
