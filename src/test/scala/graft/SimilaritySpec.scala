@@ -260,6 +260,27 @@ class SimilaritySpec extends SparkSpec {
     } finally Similarity.SemGridMinCluster = default
   }
 
+  test("dedup_semantic work-based fan-out: per-cluster NB cells equal the hash route") {
+    // gridMin = 5 routes every ~31-member spec cluster through the grid
+    // with NB = max(4, ceil(csize/5)) = 7 — exercising MULTI-block
+    // per-cluster fan-out (csize-driven, not the static nBlocks), the arm
+    // the gridmin=0 seam deliberately skips (it falls back to NB = 4 so
+    // forced-route tests keep multi-member cells). Results must equal the
+    // default hash route exactly: cells partition the pair set whatever
+    // the fan-out.
+    val default = Similarity.SemGridMinCluster
+    try {
+      val hashRouted = Similarity.semanticDedup(spark, sfDir).collect()
+        .map(_.toSeq).toSet
+      Similarity.SemGridMinCluster = 5L
+      val fanned = Similarity.semanticDedup(spark, sfDir).collect()
+        .map(_.toSeq).toSet
+      assert(fanned == hashRouted,
+        "work-based fan-out must produce the identical duplicate set")
+      assert(hashRouted.nonEmpty, "corpus must exercise the duplicate path")
+    } finally Similarity.SemGridMinCluster = default
+  }
+
   test("dedup_semantic routing threshold scales with embedding dimension") {
     import Similarity.semGridMinCluster
     // Calibration point: at the reference dim the base applies unchanged.
