@@ -391,15 +391,25 @@ object Similarity {
     * (var) lets tests force the two-level path at small nlist to measure
     * agreement.
     */
-  private[graft] var CoarseMinNlist: Int = 64
+  private[graft] var CoarseMinNlist: Int = 256
   /** Coarse cells probed per vector — CONSTANT, deliberately: with probe ∝
     * nCells the probed-centroid count is probe·k/nCells ∝ k and the build
     * is back to O(n·k·d) with a smaller constant (measured: 292 s at 20M
     * vectors, scoring 2016 of 16k centroids/vec). A constant probe keeps
     * the per-vector cost at nCells + probe·k/nCells, which [[coarseCellsOf]]
     * minimizes to 2·√(probe·k) — the real O(√k) per vector.
+    *
+    * Probe 16 and threshold 256 are MEASURED (r16, ProbeCoarseAgreement,
+    * 1M × 768-dim / k=800): probe 4 agreed with exact argmax on only
+    * 69.4% of assignments at production width (89% at dim 64 — high-dim
+    * cosine concentration makes cell shortlists miss more), probe 16
+    * reaches 85.3% while still scoring only 2√(16k) ≈ 6% of centroids at
+    * the k=16000 regime the two-level path exists for. Below k=256 the
+    * coarse path saves nothing even in wall time (k=112 × 768-dim:
+    * exact 4.1 s vs coarse 6.2 s — overheads dominate the 2.7× FLOP cut),
+    * so small-k builds go exact: free agreement.
     */
-  private[graft] val CoarseProbe = 4
+  private[graft] var CoarseProbe = 16
   private[graft] def coarseProbe(nCells: Int): Int = CoarseProbe
   /** Cell count minimizing nCells + probe·k/nCells: √(probe·k). At k=16000
     * → 253 cells, ~506 of 16k centroids scored per vector (vs 2016 for the

@@ -403,7 +403,13 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"), col("nrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
-    val probe = Similarity.coarseProbe(8) // the production probe width at 8 cells
+    // Probe 4, NARROWER than the production default (16): at 8 cells the
+    // default's shortlist (16·64/8 = 128 ≥ 64 centroids) degenerates to
+    // exact and the boundary analysis below would assert nothing. The
+    // default's agreement at production regimes is measured by
+    // tools/ProbeCoarseAgreement (r16: 1.0000 at 20M × 64-dim/k=16000,
+    // 0.8525 at 1M × 768-dim/k=800) and recorded in TESTDATA.
+    val probe = 4
     val both = n.select(col("vec_id"), col("embedding"), col("nrm"),
       graft.functions.Vec.nearestCentroid(col("embedding"), col("nrm"), cents).as("exact"),
       graft.functions.Vec.nearestCentroidCoarse(col("embedding"), col("nrm"), cents,
