@@ -637,15 +637,19 @@ object Similarity {
     * Scale: clustering cuts candidate pairs from n²/2 to Σ|c|²/2 (~n²/2k
     * for balanced clusters), and the within-cluster all-pairs are
     * decomposed by the SAME block grid as [[pairwiseDups]] — the join key
-    * is (cluster, gi, gj), so parallelism is nlist · NB(NB+1)/2 grid
-    * cells (not nlist — a cluster-only key caps every task at one whole
+    * is (cluster, gi, gj), so parallelism is Σ NB_c(NB_c+1)/2 grid cells
+    * (not nlist — a cluster-only key caps every task at one whole
     * cluster and |c|² work, the textbook skewed-key quadratic at 10⁸+
     * vectors) and per-task memory is bounded by two sub-blocks of one
-    * cluster regardless of cluster size. Both join sides read the
-    * materialized cluster-partitioned index ([[ivfIndexed]]), so the scan
-    * cost is already paid; replication is ~NB/2× per side. At a real
-    * corpus you also scale nlist with n (SemDeDup uses k ∝ n) — the grid
-    * makes hot clusters survivable either way.
+    * cluster regardless of cluster size. NB is WORK-BASED per cluster —
+    * max(nBlocks, ⌈|c| / T(dim)⌉) — so every cell owes at most the same
+    * FMA budget the routing threshold encodes at any embedding width
+    * (r16; the fixed NB=4 it replaces left a 49k × 768-dim blob as 10
+    * cells of up to ~134 s). Both join sides read the materialized
+    * cluster-partitioned index ([[ivfIndexed]]), so the scan cost is
+    * already paid; replication is ~NB_c/2× per side. At a real corpus
+    * you also scale nlist with n (SemDeDup uses k ∝ n) — the grid makes
+    * hot clusters survivable either way.
     */
   /** Minimum nlist / target cluster size for [[semanticDedup]]'s auto
     * nlist = max(SemMinNlist, ⌈n / SemClusterTarget⌉) — SemDeDup's k ∝ n:
