@@ -91,6 +91,40 @@ object Tables {
 
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.DataType]()
+
+  /** Driver-side parquet footer row count: block row counts summed from the
+    * file footers — metadata-only, NO Spark job. Shared by the scale-
+    * adaptive sizers (streaming state partitions, the pack broadcast-cap
+    * decision): at 100 TB the row count is the signal that turns "tuned for
+    * local mode" constants into functions of the input. Recurses into
+    * subdirectories so a partitioned layout (dir/part=x/file.parquet)
+    * counts fully. Memoized on (path, total length, max mtime): same files
+    * → same count, a regenerated corpus misses the memo and re-reads.
+    */
+  def footerRowCount(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    def walk(st: FileStatus): Seq[FileStatus] = {
+      val name = st.getPath.getName
+      if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+      else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else Seq(st)
+    }
+    val files = walk(fs.getFileStatus(p))
+    val sig = (path, files.map(_.getLen).sum, files.map(_.getModificationTime).maxOption.getOrElse(0L))
+    rowCountCache.computeIfAbsent(sig, { _ =>
+      files.map { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try rdr.getRecordCount finally rdr.close()
+      }.sum
+    })
+  }
+
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =

@@ -112,28 +112,18 @@ object Pipeline {
   private val packed = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
-  /** Driver-side parquet footer row count (no Spark job — block counts
-    * from the file footers), so the broadcast-under-cap decision below is
+  /** Driver-side parquet footer row count ([[graft.Tables.footerRowCount]]
+    * — no Spark job), so the broadcast-under-cap decision below is
     * metadata-only whenever the DOC count already fits the cap: offset
     * rows are one per non-empty (source, bucket), each holding ≥ 1 doc,
     * so docs ≤ cap ⇒ offsets ≤ cap. Only a corpus with MORE docs than the
     * cap (where offsets may still be few) pays a real count — once per
     * session, and that count scans the cached slim agg the query needs
-    * anyway.
+    * anyway. The shared helper recurses into partition subdirectories, so
+    * the implication stays sound for any parquet layout.
     */
-  private def footerRowCount(spark: SparkSession, path: String): Long = {
-    import org.apache.hadoop.fs.Path
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val files = fs.listStatus(p).filter(f => f.isFile &&
-      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-    files.map { f =>
-      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-      try rdr.getRecordCount finally rdr.close()
-    }.sum
-  }
+  private def footerRowCount(spark: SparkSession, path: String): Long =
+    graft.Tables.footerRowCount(spark, path)
 
   def packSequences(spark: SparkSession, dir: String, window: Int = 512): DataFrame = {
     val B = PackBucketWidth

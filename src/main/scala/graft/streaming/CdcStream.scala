@@ -113,6 +113,29 @@ object CdcStream {
     f.delete(): Unit
   }
 
+  /** SPARK_GRAFT_STREAM_DEBUG=1: dump each microbatch's progress JSON
+    * (durationMs breakdown — addBatch / walCommit / stateStore commit /
+    * queryPlanning) to stderr after a drain, so the fixed per-drain cost
+    * can be attributed without a profiler.
+    */
+  private def debugProgress(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+      q.recentProgress.foreach(p => System.err.println(s"STREAM_PROGRESS ${p.json}"))
+
+  /** Companion phase timer for SPARK_GRAFT_STREAM_DEBUG=1: wall-ms of the
+    * non-trigger phases of a drain (start / stop / cleanup), which progress
+    * JSON does not cover.
+    */
+  private def phase[T](label: String)(body: => T): T = {
+    if (!sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1")) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"STREAM_PHASE $label ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+    }
+  }
+
   /** The events parquet as an unbounded stream. Downstream contract: `ts`
     * is raw epoch-NANOS long (every consumer does `ts DIV 1000` → micros).
     * The file has shipped as both TIMESTAMP(NANOS) (read as long under
@@ -148,18 +171,29 @@ object CdcStream {
     *  - [[StreamKeys]] — event/PK-grain state whose cardinality tracks the
     *    stream itself (`dropDuplicates(event_id)`-style). Here state-store
     *    hashing/commit work scales with ROWS, so parallelism should track
-    *    the executor CPUs: measured at the 100M-event corpus,
+    *    volume up to the executor CPUs: measured at the 100M-event corpus,
     *    replay-dedup was 70.2 s at 4 partitions vs 34.8 s at 16 — and
     *    widening CHANNELS (4 → 64) made it WORSE (79.1 s), confirming the
-    *    stream key, not the channel width, is the sizing variable. On a
-    *    real cluster this scales with total executor cores.
+    *    stream key, not the channel width, is the sizing variable. But a
+    *    CONSTANT ~cores is wrong at the other end of the scale axis: every
+    *    state partition costs a store instance + delta-file commit + task
+    *    per microbatch, and at the 100k-event sf0.1 corpus those fixed
+    *    costs dominate (measured r17: replay-dedup 5.4 s at 32 partitions
+    *    vs 1.3 s at 4; cdc-state 7.3 vs 1.2). So the grain carries the
+    *    stream's ROW COUNT (a parquet-footer metadata read) and sizes to
+    *    ~[[StreamRowsPerPartition]] state rows per partition, capped at
+    *    cores: 100k rows → 4, 1M → 10, ≥3.2M → cores. On a real cluster
+    *    the cap scales with total executor cores.
     *
     * `SPARK_GRAFT_STREAM_PARTITIONS` overrides BOTH grains (the cluster
     * operator's knob); the per-op grain is only the default.
     */
   private[graft] sealed trait KeyGrain
   private[graft] case object NarrowKeys extends KeyGrain
-  private[graft] case object StreamKeys extends KeyGrain
+  /** Event/PK-grain state: `rows` = the stream's row count (footer
+    * metadata), the volume signal the partition count derives from.
+    */
+  private[graft] final case class StreamKeys(rows: Long) extends KeyGrain
   /** State keyed by a runtime-known cardinality (e.g. channel count):
     * partitions = min(cardinality, CPUs) — more partitions than keys is
     * waste, fewer than min(keys, cores) serializes distinct keys' folds
@@ -167,12 +201,22 @@ object CdcStream {
     */
   private[graft] final case class Keyed(cardinality: Int) extends KeyGrain
 
+  /** Target state rows per store partition for [[StreamKeys]] ops. ~100k
+    * keys is well inside one store's comfort zone (a few MB of map), while
+    * one more partition costs a store open + commit + task per microbatch
+    * — the measured crossover at both ends (r15 100M-event, r17 100k-event
+    * runs) brackets any value in ~[30k, 300k]; 100k is the round middle.
+    */
+  private[graft] val StreamRowsPerPartition = 100000L
+
   private[graft] def stateParts(grain: KeyGrain): Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse {
       val cpus = Runtime.getRuntime.availableProcessors
       grain match {
         case NarrowKeys => 4
-        case StreamKeys => math.min(cpus, 32)
+        case StreamKeys(rows) =>
+          val byVolume = math.ceil(rows.toDouble / StreamRowsPerPartition).toInt
+          math.max(4, math.min(byVolume, math.min(cpus, 32)))
         case Keyed(n) => math.max(1, math.min(n, math.min(cpus, 32)))
       }
     }
@@ -209,8 +253,9 @@ object CdcStream {
       awaitNoDataBatch.toString)
     val ckpt = java.nio.file.Files.createTempDirectory(scratchRoot, "graft-ckpt-")
     try {
-      val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
-        .option("checkpointLocation", ckpt.toString).start()
+      val q = phase("start")(
+        df.writeStream.format("memory").queryName(name).outputMode(mode)
+          .option("checkpointLocation", ckpt.toString).start())
       // Register for cleanup as soon as the sink exists — a drain that
       // fails later must still leave its view droppable.
       liveSinks.synchronized { liveSinks += ((spark, name)) }
@@ -219,8 +264,8 @@ object CdcStream {
       // the session — under a catch-and-continue bench that would leak
       // one live query per pass.
       try {
-        q.processAllAvailable()
-        if (awaitNoDataBatch) {
+        phase("processAll")(q.processAllAvailable())
+        if (awaitNoDataBatch) phase("noDataWait") {
           val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
           while (!q.recentProgress.exists(p => p.numInputRows == 0 && p.batchId > 0) &&
               System.nanoTime() < deadline) {
@@ -228,7 +273,8 @@ object CdcStream {
             q.processAllAvailable()
           }
         }
-      } finally q.stop()
+        debugProgress(q)
+      } finally phase("stop")(q.stop())
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
@@ -237,7 +283,7 @@ object CdcStream {
       // they pin the final state version on the heap until the minutely
       // maintenance sweep, and a following drain pays for that dead state
       // in GC (see GraftSql.unloadStateStores).
-      org.apache.spark.sql.GraftSql.unloadStateStores()
+      phase("unloadStores")(org.apache.spark.sql.GraftSql.unloadStateStores())
     }
     df.sparkSession.table(name)
   }
@@ -267,20 +313,21 @@ object CdcStream {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val ckpt = java.nio.file.Files.createTempDirectory(scratchRoot, "graft-ckpt-")
     try {
-      val q = df.writeStream
+      val q = phase("start")(df.writeStream
         .outputMode(mode)
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(dir.getPath)
         }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+        .start())
+      try { phase("processAll")(q.processAllAvailable()); debugProgress(q) }
+      finally phase("stop")(q.stop())
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       deleteRecursive(ckpt.toFile)
       // Same eager provider release as the memory-sink drain.
-      org.apache.spark.sql.GraftSql.unloadStateStores()
+      phase("unloadStores")(org.apache.spark.sql.GraftSql.unloadStateStores())
     }
     // Explicit schema: a zero-row emission leaves the dir with no parquet
     // files, where schema inference throws — the empty-frame answer the
@@ -338,9 +385,9 @@ object CdcStream {
     val folded = evs.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(foldPk)
     // PK-grain state: cardinality = the entity population (stream-like,
-    // not a fixed handful of channels) → [[StreamKeys]] sizing.
+    // not a fixed handful of channels) → [[StreamKeys]] volume sizing.
     pkRowsToSnapshot(drainParquet(folded.toDF(), mode = "update",
-      grain = StreamKeys))
+      grain = StreamKeys(graft.Tables.footerRowCount(spark, s"$dir/events.parquet"))))
   }
 
   /** End-to-end replication: the live fold streamed into a parquet
@@ -612,8 +659,9 @@ object CdcStream {
     // surviving event) — keep it off the driver; the per-channel count
     // runs as a parallel scan over the drained files. State is keyed at
     // EVENT grain ((event_id, ts) — cardinality = the stream, not the
-    // channels), so the state store sizes to [[StreamKeys]].
-    drainParquet(deduped, grain = StreamKeys)
+    // channels), so the state store sizes to [[StreamKeys]] volume.
+    drainParquet(deduped,
+      grain = StreamKeys(graft.Tables.footerRowCount(spark, s"$dir/events.parquet")))
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("dedup_cnt"))
   }

@@ -259,22 +259,32 @@ class StreamMultimodalSpec extends SparkSpec {
       .map(r => r.getAs[Long]("channel") -> r.getAs[Long]("dedup_cnt")).toMap
     assert(live == batch, "streaming dedup must equal the batch dedup counts")
     // Event-grain state key ((event_id, ts) — cardinality = the stream):
-    // the drain must have sized the state store to ~cores, not the narrow
-    // default. Measured at 100M events: 70.2 s at 4 partitions vs 34.8 s
-    // at 16. Only meaningful when the env override is absent.
-    if (sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").isEmpty)
+    // the drain must have sized the state store from the stream's VOLUME
+    // (footer row count / StreamRowsPerPartition, clamped to [4, cores]).
+    // Measured at 100M events: 70.2 s at 4 partitions vs 34.8 s at 16;
+    // at 100k events 5.4 s at 32 vs 1.3 s at 4 (r17) — a constant is
+    // wrong at one end or the other. Only meaningful without the override.
+    if (sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").isEmpty) {
+      val rows = graft.Tables.footerRowCount(spark, s"$sfDir/events.parquet")
       assert(CdcStream.lastStateParts ===
-        math.min(Runtime.getRuntime.availableProcessors, 32),
-        "event-grain streaming state must default to ~core-count partitions")
+        CdcStream.stateParts(CdcStream.StreamKeys(rows)),
+        "event-grain streaming state must size to the stream volume")
+    }
   }
 
   test("state-store partition defaults follow the op's state key grain") {
     assume(sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").isEmpty)
     val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
     // The sizing rule itself (SURVEY §5: partitions track state-key
-    // cardinality, capped at cores).
+    // cardinality, capped at cores; stream-grain additionally tracks the
+    // stream's VOLUME — ~StreamRowsPerPartition state rows per store).
     assert(CdcStream.stateParts(CdcStream.NarrowKeys) === 4)
-    assert(CdcStream.stateParts(CdcStream.StreamKeys) === cpus)
+    assert(CdcStream.stateParts(CdcStream.StreamKeys(100000L)) === 4,
+      "100k-row stream: fixed per-store costs dominate past ~4 partitions")
+    assert(CdcStream.stateParts(CdcStream.StreamKeys(1000000L)) ===
+      math.min(10, cpus), "1M-row stream: 10 stores of ~100k rows")
+    assert(CdcStream.stateParts(CdcStream.StreamKeys(100000000L)) === cpus,
+      "100M-row stream: volume saturates the core cap")
     assert(CdcStream.stateParts(CdcStream.Keyed(2)) === math.min(2, cpus))
     // The production vchannel width (the 256-channel bench decade): caps
     // at cores on this box, sizes to 256 on a ≥256-core cluster. The
@@ -293,7 +303,8 @@ class StreamMultimodalSpec extends SparkSpec {
       math.min(graft.cdc.Cdc.NumChannels, cpus),
       "channel-grain state must size to the channel count")
     CdcStream.cdcState(spark, sfDir).collect(): Unit
-    assert(CdcStream.lastStateParts === cpus,
-      "PK-grain state must size to ~core count")
+    assert(CdcStream.lastStateParts === CdcStream.stateParts(CdcStream.StreamKeys(
+      graft.Tables.footerRowCount(spark, s"$sfDir/events.parquet"))),
+      "PK-grain state must size to the stream volume")
   }
 }
