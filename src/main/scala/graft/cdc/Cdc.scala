@@ -1194,12 +1194,16 @@ object Cdc {
       .withColumn("seq", col("prev_cnt") + row_number().over(wRow))
       .withColumn("seg", col("prev_ov") + coalesce(
         sum(col("ov")).over(wRow.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // Chunk within segment = 0-based position DIV maxCount; AQE broadcasts
-    // the segment-start table while it is small, hash-joins co-partitioned
-    // otherwise.
-    val segStart = rows.groupBy(col("channel"), col("seg"))
-      .agg(min(col("seq")).as("seg_start"))
-    val batches = rows.join(segStart, Seq("channel", "seg"))
+    // Chunk within segment = 0-based position DIV maxCount. seg_start =
+    // min(seq) within (channel, seg) as a WHOLE-PARTITION window, not a
+    // groupBy + self-join: the self-join re-evaluated the entire `rows`
+    // subtree (the events scan ran 4x per query, 12 exchanges — r17 plan
+    // audit), where the window costs one exchange whose (channel, seg)
+    // partitioning the next groupBy then reuses (subset-key clustering).
+    val wSeg = Window.partitionBy(col("channel"), col("seg"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val batches = rows
+      .withColumn("seg_start", min(col("seq")).over(wSeg))
       .withColumn("chunk", expr(s"(seq - seg_start) DIV $maxCount"))
       .groupBy(col("channel"), col("seg"), col("chunk"))
       .agg(count(lit(1)).as("n_msgs"), sum(col("sz")).as("batch_bytes"),
