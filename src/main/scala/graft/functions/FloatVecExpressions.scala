@@ -672,3 +672,48 @@ object SemanticPairStats {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** Sign-bit packing for binary quantization: bit i of the result is set
+  * iff element `offset + i` of the float array exists, is non-null and is
+  * > 0 — exactly the semantics of the literal
+  * `when(element_at(e, offset+i+1) > 0f, 1L<<i)` sum it replaces, whose
+  * 32-branch expression tree per word dominated the binary-knn scoring
+  * map (each branch re-checked array bounds and nullability; measured
+  * 0.92 s vs the sibling knns' ~0.2 s at sf0.1). One primitive loop via
+  * a static helper shared by interpreted eval and codegen.
+  */
+case class SignPackWord(child: Expression, offset: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"SignPackWord needs array<float>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    SignPackWord.pack(a.asInstanceOf[ArrayData], offset)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SignPackWord.pack($a, $offset);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SignPackWord {
+  def pack(e: ArrayData, offset: Int): Long = {
+    val n = e.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < 32) {
+      val idx = offset + i
+      if (idx < n && !e.isNullAt(idx) && e.getFloat(idx) > 0f) acc |= (1L << i)
+      i += 1
+    }
+    acc
+  }
+}

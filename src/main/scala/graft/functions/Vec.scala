@@ -88,4 +88,11 @@ object Vec {
       tau: Double): Column =
     GraftSql.column(SemanticCellStats(GraftSql.expression(msa),
       GraftSql.expression(msb), GraftSql.expression(diag), tau))
+
+  /** 32 sign bits of `e[offset .. offset+31]` packed into a long —
+    * binary quantization's word builder as one codegen'd loop
+    * ([[SignPackWord]]) instead of a 32-branch `when(element_at…)` tree.
+    */
+  def signPackWord(e: Column, offset: Int): Column =
+    GraftSql.column(SignPackWord(GraftSql.expression(e), offset))
 }

@@ -218,11 +218,11 @@ object Similarity {
     * pure integer ops — at 100 TB this is the cheapest metric there is.
     */
   def binaryKnn(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    // Pack bit i of word w as 2^i when embedding[w*32 + i + 1] > 0.
-    def word(e: Column, w: Int): Column =
-      (0 until 32).map { i =>
-        when(element_at(e, w * 32 + i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    // Pack bit i of word w as 2^i when embedding[w*32 + i + 1] > 0 — one
+    // codegen'd loop (Vec.signPackWord); the literal 32-branch
+    // when(element_at…) tree per word re-checked bounds/null per branch
+    // and made this the slowest knn (0.92 s vs siblings' ~0.2 at sf0.1).
+    def word(e: Column, w: Int): Column = Vec.signPackWord(e, w * 32)
     val withWords = embeddings(spark, dir)
       .select(col("vec_id"), word(col("embedding"), 0).as("w0"),
         word(col("embedding"), 1).as("w1"))
