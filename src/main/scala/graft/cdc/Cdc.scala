@@ -189,34 +189,29 @@ object Cdc {
       col("ddl_id"), col("ddl_ts"), lit(1).as("is_probe"))
     val all = evU.unionAll(prU)
       .withColumn("bucket", expr(s"CAST(ts AS LONG) DIV $bucketWidth"))
-    // ONE windowed pass over the union computes everything the two former
-    // branches (row-level crossings + the bucket-grid aggregate) needed:
-    // the running in-bucket min, the whole-bucket min, and a row_number
-    // whose rn=1 row is the bucket's grid representative (probe-only
-    // buckets included, since probes are in the union). Both consumers
-    // filter the SAME window subtree over the SAME (channel, bucket)
-    // exchange, so the physical planner reuses one shuffle — the former
-    // grid branch re-aggregated the whole union from the parquet scans
-    // (events scanned 6x per query, SortMergeJoin on (channel, bucket);
-    // r17 plan audit) where this scans them 3x and broadcast-joins the
-    // tiny grid.
+    // Per-(channel, bucket) event minima INCLUDING probe-only buckets
+    // (bmin null there), so every probe row finds its later_min row.
+    // The grid branch re-reads the union (a second pass over two narrow
+    // columns with map-side partial aggregation — cheap), but the tiny
+    // grid result is BROADCAST back to the row-level branch: the planner
+    // has no size estimate for an agg-under-window subtree and picked a
+    // SortMergeJoin, which exchanged AND sorted the probe side on
+    // (channel, bucket) (r17 plan audit). A one-pass shared-window
+    // formulation was tried and measured WORSE: column pruning
+    // specializes the two consumers' exchanges, ReuseExchange finds
+    // nothing, and the grid branch then pays the full sort+window instead
+    // of a partial agg.
+    val wLater = Window.partitionBy(col("channel")).orderBy(col("bucket"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val bucketGrid = all.groupBy(col("channel"), col("bucket"))
+      .agg(min(when(col("is_probe") === 0, col("ev_ts"))).as("bmin"))
+      .withColumn("later_min", min(col("bmin")).over(wLater))
+      .drop("bmin")
     val wIn = Window.partitionBy(col("channel"), col("bucket"))
       .orderBy(col("ts").desc, col("is_probe").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val winged = all
+    val crossings = all
       .withColumn("in_bucket_min", min(col("ev_ts")).over(wIn))
-      .withColumn("bucket_min", min(col("ev_ts"))
-        .over(Window.partitionBy(col("channel"), col("bucket"))))
-      .withColumn("rn", row_number().over(Window
-        .partitionBy(col("channel"), col("bucket"))
-        .orderBy(col("ts").desc, col("is_probe").asc)))
-    val wLater = Window.partitionBy(col("channel")).orderBy(col("bucket"))
-      .rowsBetween(1, Window.unboundedFollowing)
-    val bucketGrid = winged.filter(col("rn") === 1)
-      .select(col("channel"), col("bucket"), col("bucket_min"))
-      .withColumn("later_min", min(col("bucket_min")).over(wLater))
-      .select(col("channel"), col("bucket"), col("later_min"))
-    val crossings = winged
       .filter(col("is_probe") === 1)
       .join(broadcast(bucketGrid), Seq("channel", "bucket"))
       .withColumn("first_crossing", least(col("in_bucket_min"), col("later_min")))
@@ -247,6 +242,11 @@ object Cdc {
       .select(pmod(col("user_id"), lit(NumChannels)).as("channel"),
         col("event_id"), col("ts"))
       .withColumn("bucket", col("event_id") - pmod(col("event_id"), lit(bucketSize)))
+    // Grid branch = a second narrow scan with map-side partial agg (cheap);
+    // the tiny grid BROADCASTS back — see [[barrierTsFrom]] for why this
+    // beats a one-pass shared-window formulation (pruning-specialized
+    // exchanges defeat ReuseExchange, and the grid re-execution then pays
+    // a full sort+window instead of a partial agg).
     val wBuckets = Window.partitionBy(col("channel")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bucketMax = ev.groupBy(col("channel"), col("bucket"))
@@ -255,10 +255,7 @@ object Cdc {
       .drop("bmax")
     val wInBucket = Window.partitionBy(col("channel"), col("bucket"))
       .orderBy(col("event_id")).rowsBetween(Window.unboundedPreceding, -1)
-    // Shuffle join on (channel, bucket) — AQE broadcasts it while the
-    // bucket table is small; at extreme bucket counts it stays a hash join
-    // co-partitioned with the per-row window's shuffle.
-    ev.join(bucketMax, Seq("channel", "bucket"))
+    ev.join(broadcast(bucketMax), Seq("channel", "bucket"))
       .withColumn("prev_max",
         greatest(col("prev_buckets_max"), max(col("ts")).over(wInBucket)))
       .groupBy(col("channel"))
@@ -351,36 +348,27 @@ object Cdc {
       .withColumn("pk", when(col("is_probe") === 0,
         tsRaw.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * expr(packShift)
           + col("event_id")))
-    // ONE windowed pass computes the running in-bucket max, the whole-
-    // bucket max, and a row_number whose rn=1 row is the bucket's grid
-    // representative (probe-only buckets included — probes are in the
-    // union). Both consumers filter the SAME window subtree over the SAME
-    // (channel, bucket) exchange, so the physical planner reuses one
-    // shuffle; the former grid branch re-aggregated the union from the
-    // parquet scans (events scanned 4x per query — r17 plan audit, the
-    // same fix as [[barrierTsFrom]]). The tiny grid broadcast-joins back.
+    // Per-(channel, bucket) event position maxima INCLUDING probe-only
+    // buckets (bmax null there), so every probe row finds its grid row.
+    // Grid re-reads the union (narrow partial agg) and BROADCASTS back —
+    // see [[barrierTsFrom]] for why this beats both the former
+    // SortMergeJoin and a one-pass shared-window formulation.
+    val wEarlier = Window.partitionBy(col("channel")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketGrid = all.groupBy(col("channel"), col("bucket"))
+      .agg(max(col("pk")).as("bmax"))
+      .withColumn("earlier_max", max(col("bmax")).over(wEarlier))
+      .drop("bmax")
     val wIn = Window.partitionBy(col("channel"), col("bucket"))
       .orderBy(col("ts"), col("is_probe"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val winged = all
-      .withColumn("in_bucket_max", max(col("pk")).over(wIn))
-      .withColumn("bucket_max", max(col("pk"))
-        .over(Window.partitionBy(col("channel"), col("bucket"))))
-      .withColumn("rn", row_number().over(Window
-        .partitionBy(col("channel"), col("bucket"))
-        .orderBy(col("ts"), col("is_probe"), col("event_id"))))
-    val wEarlier = Window.partitionBy(col("channel")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketGrid = winged.filter(col("rn") === 1)
-      .select(col("channel"), col("bucket"), col("bucket_max"))
-      .withColumn("earlier_max", max(col("bucket_max")).over(wEarlier))
-      .select(col("channel"), col("bucket"), col("earlier_max"))
     val posTs: Column = tsType match {
       case org.apache.spark.sql.types.TimestampType =>
         timestamp_micros(expr(s"pos DIV $packShift"))
       case t => expr(s"pos DIV $packShift").cast(t)
     }
-    winged
+    all
+      .withColumn("in_bucket_max", max(col("pk")).over(wIn))
       .filter(col("is_probe") === 1)
       .join(broadcast(bucketGrid), Seq("channel", "bucket"))
       .withColumn("pos", greatest(col("in_bucket_max"), col("earlier_max")))
