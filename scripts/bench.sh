@@ -71,9 +71,19 @@ fi
 PRETOUCH=""
 if [ "${BENCH_PRETOUCH:-auto}" != "0" ]; then
   _xmx="${BENCH_XMX:-96g}"
-  _xmx_kb=$(( $(echo "${_xmx%[gG]}") * 1024 * 1024 ))
+  # Parse any k/m/g/t-suffixed size (the old arithmetic only handled g/G:
+  # BENCH_XMX=98304m left _xmx_kb unset and the later $(( )) aborted the
+  # run under set -u). An unparseable value or a kernel without
+  # MemAvailable skips the auto-pretouch rather than failing the bench.
+  _xmx_kb=$(echo "$_xmx" | awk 'match($0, /^[0-9]+/) {
+    n = substr($0, 1, RLENGTH); sfx = tolower(substr($0, RLENGTH+1, 1));
+    if (sfx == "k") print n; else if (sfx == "m") print n * 1024;
+    else if (sfx == "g") print n * 1024 * 1024;
+    else if (sfx == "t") print n * 1024 * 1024 * 1024;
+    else if (sfx == "") print int(n / 1024); }')
   _avail_kb=$(awk '/MemAvailable/ {print $2}' /proc/meminfo)
-  if [ "${BENCH_PRETOUCH:-}" = "1" ] || [ "$_avail_kb" -ge $(( _xmx_kb + 4194304 )) ]; then
+  if [ "${BENCH_PRETOUCH:-}" = "1" ] || { [ -n "$_xmx_kb" ] && [ -n "$_avail_kb" ] \
+      && [ "$_avail_kb" -ge $(( _xmx_kb + 4194304 )) ]; }; then
     PRETOUCH="-Xms${_xmx} -XX:+AlwaysPreTouch"
   fi
 fi

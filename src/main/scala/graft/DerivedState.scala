@@ -60,7 +60,7 @@ private[graft] object DerivedState {
     * copied corpus with fresh mtimes) cost a rebuild, never wrong rows.
     */
   private val fps = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def fingerprint(dir: String): String =
+  private[graft] def fingerprint(dir: String): String =
     fps.computeIfAbsent(dir, { d =>
       val root = new java.io.File(d)
       val md = java.security.MessageDigest.getInstance("MD5")

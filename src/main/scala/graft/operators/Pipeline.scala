@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -128,9 +130,30 @@ object Pipeline {
   def packSequences(spark: SparkSession, dir: String, window: Int = 512): DataFrame = {
     val B = PackBucketWidth
     val cap = PackOffsetBroadcastCap
-    packed.computeIfAbsent((spark, s"$dir#$window#$B#$cap"),
-      _ => packPlan(spark, dir, window, B, cap))
+    // Memo key carries the corpus fingerprint (parity with DerivedState's
+    // durable-frame staleness contract: an in-place regeneration misses
+    // the memo instead of serving stale cached frames), and the plan is
+    // built OUTSIDE the map's compute lambda under a per-key lock —
+    // packPlan runs Spark jobs, and computeIfAbsent would serialize
+    // unrelated corpora that hash to the same bin behind them (the same
+    // anti-pattern DerivedState documents). Entries of stopped sessions
+    // are swept so dead sessions don't pin their frames.
+    packed.keys.asScala.filter(_._1.sparkContext.isStopped)
+      .foreach(packed.remove)
+    val key = (spark, s"$dir#${graft.DerivedState.fingerprint(dir)}#$window#$B#$cap")
+    val hit = packed.get(key)
+    if (hit != null) hit
+    else packLocks.computeIfAbsent(key._2, _ => new Object).synchronized {
+      Option(packed.get(key)).getOrElse {
+        val df = packPlan(spark, dir, window, B, cap)
+        packed.put(key, df)
+        df
+      }
+    }
   }
+
+  private val packLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def packPlan(spark: SparkSession, dir: String, window: Int,
       B: Long, cap: Long): DataFrame = {
@@ -189,5 +212,5 @@ object Pipeline {
   private def tracked(df: DataFrame): DataFrame = caches.tracked(df)
 
   /** Unpersist every frame this suite has cached. */
-  def clearCaches(): Unit = caches.clear()
+  def clearCaches(): Unit = { caches.clear(); packed.clear() }
 }

@@ -386,10 +386,11 @@ object Similarity {
   private[graft] var ivfDirOverride: Option[String] = None
 
   /** nlist at or above which the index-build assignment switches from the
-    * exact single-level argmax to the two-level coarse quantizer. 64 keeps
-    * every driver-gated corpus (nlist ≤ 16) on the exact path; a spec seam
-    * (var) lets tests force the two-level path at small nlist to measure
-    * agreement.
+    * exact single-level argmax to the two-level coarse quantizer. 256
+    * keeps every driver-gated corpus (nlist ≤ 16) on the exact path —
+    * and below it exact assignment is wall-faster anyway (r16 retune,
+    * measured with ProbeCoarseAgreement); a spec seam (var) lets tests
+    * force the two-level path at small nlist to measure agreement.
     */
   private[graft] var CoarseMinNlist: Int = 256
   /** Coarse cells probed per vector — CONSTANT, deliberately: with probe ∝

@@ -211,7 +211,13 @@ object CdcStream {
 
   private[graft] def stateParts(grain: KeyGrain): Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse {
-      val cpus = Runtime.getRuntime.availableProcessors
+      // The SESSION's core count, not the box's: a local[N] session on a
+      // wider machine (the driver's reduced-core scaling runs) gets N
+      // running tasks, so sizing state partitions to the physical CPUs
+      // would oversubscribe the state-store commits 4x at local[8]/32.
+      val cpus = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.defaultParallelism)
+        .getOrElse(Runtime.getRuntime.availableProcessors)
       grain match {
         case NarrowKeys => 4
         case StreamKeys(rows) =>

@@ -274,7 +274,9 @@ class StreamMultimodalSpec extends SparkSpec {
 
   test("state-store partition defaults follow the op's state key grain") {
     assume(sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").isEmpty)
-    val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
+    // The sizing reads the SESSION's parallelism (local[4] here), not the
+    // box's CPUs — the driver's reduced-core runs must scale down with it.
+    val cpus = math.min(spark.sparkContext.defaultParallelism, 32)
     // The sizing rule itself (SURVEY §5: partitions track state-key
     // cardinality, capped at cores; stream-grain additionally tracks the
     // stream's VOLUME — ~StreamRowsPerPartition state rows per store).
