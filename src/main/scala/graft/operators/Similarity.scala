@@ -145,7 +145,12 @@ object Similarity {
         pmod(col("vec_id"), lit(nBlocks)).as("blk"))
     // a-side owns grid cells (blk, q) for q >= blk; b-side cells (p, blk)
     // for p <= blk — every unordered block pair meets in exactly one cell.
-    val a = n
+    // spread: the probe side of the broadcast grid join inherits the scan's
+    // split count — a small single-file corpus is ONE split, so the whole
+    // O(n²/2) scoring loop ran on one core (measured 2.0 s for 2M pairs at
+    // sf0.1, ~1 µs-core/pair vs the ~60 ns FMA floor; 0.35 s spread).
+    // No-op at real corpus sizes where the scan is already well-split.
+    val a = graft.Tables.spread(n)
       .withColumn("gj", explode(array((0 until nBlocks).map(lit): _*)))
       .filter(col("blk") <= col("gj"))
       .select(col("blk").as("gi"), col("gj"),
