@@ -232,6 +232,53 @@ object CdcStream {
     */
   @volatile private[graft] var lastStateParts: Int = -1
 
+  private val CfmKey = "spark.sql.streaming.checkpointFileManagerClass"
+
+  /** Checkpoint file manager for drain SCRATCH (set per drained query,
+    * restored after): the nio manager skips Hadoop's ChecksumFileSystem
+    * shadow-file machinery on metadata-log and state-delta writes that are
+    * deleted the moment the drain stops — measured ~40 ms per log commit
+    * (offset WAL + commit log + source log + one delta per state
+    * partition, per microbatch) on tmpfs where durability costs nothing.
+    * LIVE queries with a real checkpointLocation ([[replicate]]) never see
+    * it. `SPARK_GRAFT_DRAIN_CFM=default` restores the stock manager;
+    * any other value substitutes a custom class.
+    */
+  private def drainCfmClass: Option[String] =
+    sys.env.get("SPARK_GRAFT_DRAIN_CFM") match {
+      case Some("default") => None
+      case Some(cls) => Some(cls)
+      case None => Some(classOf[
+        org.apache.spark.sql.execution.streaming.checkpointing.GraftNioCheckpointFileManager
+      ].getName)
+    }
+
+  /** Set the drain-scoped session confs (state partition sizing + scratch
+    * checkpoint manager), run `body`, restore. Conf reads at query START
+    * pin these per query, so the restore cannot affect a running drain.
+    */
+  private def withDrainConfs[T](spark: SparkSession, grain: KeyGrain,
+      noDataBatches: Boolean)(body: => T): T = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf
+      .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val prevCfm = spark.conf.getOption(CfmKey)
+    lastStateParts = stateParts(grain)
+    spark.conf.set("spark.sql.shuffle.partitions", lastStateParts.toString)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataBatches.toString)
+    drainCfmClass.foreach(spark.conf.set(CfmKey, _))
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      prevCfm match {
+        case Some(v) => spark.conf.set(CfmKey, v)
+        case None => spark.conf.unset(CfmKey)
+      }
+    }
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the materialized table (bounded input → the stream drains and stops).
     *
@@ -246,44 +293,50 @@ object CdcStream {
       grain: KeyGrain = NarrowKeys): DataFrame = {
     val name = s"graft_stream_${nameSeq.incrementAndGet()}"
     val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = spark.conf
-      .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    lastStateParts = stateParts(grain)
-    spark.conf.set("spark.sql.shuffle.partitions", lastStateParts.toString)
     // A bounded drain needs the post-data no-data microbatch ONLY when the
     // sink's emission is watermark-driven (append-mode windowed aggs); for
     // update/complete folds and data-batch-emitting append queries it is a
     // pure extra batch round (plan + state commit) per drain — skip it.
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-      awaitNoDataBatch.toString)
     val ckpt = java.nio.file.Files.createTempDirectory(scratchRoot, "graft-ckpt-")
-    try {
-      val q = phase("start")(
-        df.writeStream.format("memory").queryName(name).outputMode(mode)
-          .option("checkpointLocation", ckpt.toString).start())
-      // Register for cleanup as soon as the sink exists — a drain that
-      // fails later must still leave its view droppable.
-      liveSinks.synchronized { liveSinks += ((spark, name)) }
-      // stop() in finally: a throw from processAllAvailable (or the
-      // no-data wait) must not leave the query running for the rest of
-      // the session — under a catch-and-continue bench that would leak
-      // one live query per pass.
-      try {
-        phase("processAll")(q.processAllAvailable())
-        if (awaitNoDataBatch) phase("noDataWait") {
-          val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-          while (!q.recentProgress.exists(p => p.numInputRows == 0 && p.batchId > 0) &&
-              System.nanoTime() < deadline) {
-            Thread.sleep(25)
-            q.processAllAvailable()
+    try withDrainConfs(spark, grain, noDataBatches = awaitNoDataBatch) {
+      val writer = df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+      // Bounded run-to-completion: AvailableNow snapshots the source's file
+      // list once at start and self-terminates after the final commit — no
+      // second full listing to discover "no new data" and no polling
+      // sleeps. The watermark-driven append drain stays on the default
+      // trigger: its emission happens in a no-data batch AFTER the data
+      // batch, which processAllAvailable + the explicit wait below
+      // guarantee.
+      if (awaitNoDataBatch) {
+        val q = phase("start")(writer.start())
+        // Register for cleanup as soon as the sink exists — a drain that
+        // fails later must still leave its view droppable.
+        liveSinks.synchronized { liveSinks += ((spark, name)) }
+        // stop() in finally: a throw from processAllAvailable (or the
+        // no-data wait) must not leave the query running for the rest of
+        // the session — under a catch-and-continue bench that would leak
+        // one live query per pass.
+        try {
+          phase("processAll")(q.processAllAvailable())
+          phase("noDataWait") {
+            val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+            while (!q.recentProgress.exists(p => p.numInputRows == 0 && p.batchId > 0) &&
+                System.nanoTime() < deadline) {
+              Thread.sleep(25)
+              q.processAllAvailable()
+            }
           }
-        }
-        debugProgress(q)
-      } finally phase("stop")(q.stop())
+          debugProgress(q)
+        } finally phase("stop")(q.stop())
+      } else {
+        val q = phase("start")(
+          writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start())
+        liveSinks.synchronized { liveSinks += ((spark, name)) }
+        try { phase("awaitTermination")(q.awaitTermination()); debugProgress(q) }
+        finally phase("stop")(q.stop())
+      }
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       deleteRecursive(ckpt.toFile) // drained = done; the WAL is scratch
       // Eagerly drop the finished query's cached state-store providers:
       // they pin the final state version on the heap until the minutely
@@ -311,26 +364,19 @@ object CdcStream {
     val dir = java.nio.file.Files.createTempDirectory(scratchRoot, "graft-drain-").toFile
     dir.deleteOnExit()
     liveDirs.synchronized { liveDirs += ((spark, dir)) }
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = spark.conf
-      .get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    lastStateParts = stateParts(grain)
-    spark.conf.set("spark.sql.shuffle.partitions", lastStateParts.toString)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val ckpt = java.nio.file.Files.createTempDirectory(scratchRoot, "graft-ckpt-")
-    try {
+    try withDrainConfs(spark, grain, noDataBatches = false) {
       val q = phase("start")(df.writeStream
         .outputMode(mode)
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(dir.getPath)
         }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start())
-      try { phase("processAll")(q.processAllAvailable()); debugProgress(q) }
+      try { phase("awaitTermination")(q.awaitTermination()); debugProgress(q) }
       finally phase("stop")(q.stop())
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       deleteRecursive(ckpt.toFile)
       // Same eager provider release as the memory-sink drain.
       phase("unloadStores")(org.apache.spark.sql.GraftSql.unloadStateStores())
