@@ -550,6 +550,18 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Target edge rows per shuffle partition of the propagation loop —
+    * each iteration is a join + grouped min over the EDGE frame, so the
+    * loop's parallelism should track the edge count, not the session
+    * default: every extra partition costs a task + exchange slot PER
+    * ITERATION, and at toy edge counts (256 edges at sf0.1) the fixed
+    * cost dominates (measured loop wall: 0.95-1.5 s at 32 partitions vs
+    * 0.66-0.71 s at 1 — ProbeLabelLoop). ~250k edge rows is a few MB per
+    * task; a 5M-doc near-dup corpus (~10M sym edges) still saturates a
+    * 32-core session.
+    */
+  private[graft] val EdgesPerPartition = 250000L
+
   private def propagateLabels(spark: SparkSession, dir: String, tau: Double,
       maxIter: Int): DataFrame = {
     val pairs = clusterEdges(spark, dir, tau)
@@ -559,36 +571,50 @@ object Dedup {
     val sym = buildTracked(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    // The loop runs ONLY over pair-involved vertices — isolated docs can
-    // never change label and join back as singletons at the end. One Spark
-    // job per iteration: the convergence count is the action that
-    // materializes the (lazy) checkpoint of the next labelling.
-    // Seeded init: label(v) = min(v, neighbors) — the identity init's
-    // first propagation round fused into the vertex-set groupBy (same
-    // shuffle the distinct would cost), so convergence starts one hop in.
-    var labels = sym.groupBy(col("src"))
-      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
-      .select(col("src").as("doc_id"), col("cluster_id"))
-      .localCheckpoint()
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      val nbr = sym
-        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_label")), "dst")
-        .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_min"))
-      val next = labels.join(nbr, labels("doc_id") === nbr("src"), "left")
-        .select(labels("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"),
-          (col("cluster_id") > col("nbr_min")).as("lowered"))
-        .localCheckpoint(eager = false)
-      // count() (not isEmpty) — it visits every partition, so the lazy
-      // checkpoint fully materializes and lineage stays one hop deep.
-      done = next.filter(col("lowered")).count() == 0L
-      labels = next.drop("lowered")
-      iter += 1
-    }
-    labels
+    // The count doubles as the eager materialization of the cached edge
+    // frame (the first iteration would pay it anyway) and gives the loop
+    // its volume signal.
+    val edges = sym.count()
+    // Volume-adaptive loop parallelism (set for the loop, restored after):
+    // partitions = edges / [[EdgesPerPartition]], clamped to the session's
+    // cores — the same scale-adaptive rule as the streaming state sizing.
+    val cpus = spark.sparkContext.defaultParallelism
+    val loopParts = math.max(1, math.min(
+      math.ceil(edges.toDouble / EdgesPerPartition).toInt, cpus))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      // The loop runs ONLY over pair-involved vertices — isolated docs can
+      // never change label and join back as singletons at the end. One Spark
+      // job per iteration: the convergence count is the action that
+      // materializes the (lazy) checkpoint of the next labelling.
+      // Seeded init: label(v) = min(v, neighbors) — the identity init's
+      // first propagation round fused into the vertex-set groupBy (same
+      // shuffle the distinct would cost), so convergence starts one hop in.
+      var labels = sym.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+        .localCheckpoint()
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        val nbr = sym
+          .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dst_label")), "dst")
+          .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_min"))
+        val next = labels.join(nbr, labels("doc_id") === nbr("src"), "left")
+          .select(labels("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+              .as("cluster_id"),
+            (col("cluster_id") > col("nbr_min")).as("lowered"))
+          .localCheckpoint(eager = false)
+        // count() (not isEmpty) — it visits every partition, so the lazy
+        // checkpoint fully materializes and lineage stays one hop deep.
+        done = next.filter(col("lowered")).count() == 0L
+        labels = next.drop("lowered")
+        iter += 1
+      }
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** SimHash hash-family constants. The per-gram hash and the 62 bit

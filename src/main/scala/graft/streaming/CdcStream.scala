@@ -218,12 +218,19 @@ object CdcStream {
       val cpus = org.apache.spark.sql.SparkSession.getActiveSession
         .map(_.sparkContext.defaultParallelism)
         .getOrElse(Runtime.getRuntime.availableProcessors)
+      // Caps follow the SESSION's parallelism with no fixed ceiling: a
+      // 128-core cluster gets 128 state partitions for a volume that
+      // warrants them (the old hard 32 was this box's width, exactly the
+      // tuned-for-local constant the scaling contract forbids). Floors
+      // are likewise clamped to the session: a local[2] session must not
+      // open 4 stores per microbatch to fold 2 cores' work.
       grain match {
-        case NarrowKeys => 4
+        case NarrowKeys => math.min(4, math.max(1, cpus))
         case StreamKeys(rows) =>
           val byVolume = math.ceil(rows.toDouble / StreamRowsPerPartition).toInt
-          math.max(4, math.min(byVolume, math.min(cpus, 32)))
-        case Keyed(n) => math.max(1, math.min(n, math.min(cpus, 32)))
+          val floor = math.min(4, math.max(1, cpus))
+          math.max(floor, math.min(byVolume, cpus))
+        case Keyed(n) => math.max(1, math.min(n, cpus))
       }
     }
 

@@ -276,12 +276,15 @@ class StreamMultimodalSpec extends SparkSpec {
     assume(sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").isEmpty)
     // The sizing reads the SESSION's parallelism (local[4] here), not the
     // box's CPUs — the driver's reduced-core runs must scale down with it.
-    val cpus = math.min(spark.sparkContext.defaultParallelism, 32)
+    // No fixed ceiling: the cap IS the session's parallelism (a wider
+    // cluster gets proportionally more state partitions when the volume
+    // warrants them).
+    val cpus = spark.sparkContext.defaultParallelism
     // The sizing rule itself (SURVEY §5: partitions track state-key
     // cardinality, capped at cores; stream-grain additionally tracks the
     // stream's VOLUME — ~StreamRowsPerPartition state rows per store).
-    assert(CdcStream.stateParts(CdcStream.NarrowKeys) === 4)
-    assert(CdcStream.stateParts(CdcStream.StreamKeys(100000L)) === 4,
+    assert(CdcStream.stateParts(CdcStream.NarrowKeys) === math.min(4, cpus))
+    assert(CdcStream.stateParts(CdcStream.StreamKeys(100000L)) === math.min(4, cpus),
       "100k-row stream: fixed per-store costs dominate past ~4 partitions")
     assert(CdcStream.stateParts(CdcStream.StreamKeys(1000000L)) ===
       math.min(10, cpus), "1M-row stream: 10 stores of ~100k rows")
