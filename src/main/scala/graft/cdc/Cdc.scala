@@ -901,37 +901,39 @@ object Cdc {
     * with adversarial generated positions, not just corpus save points.
     */
   private[graft] def positionCodecFrom(saves: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSql
     val logicalBits = 18
     val name = concat(lit("by-dev-rootcoord-dml_"), col("channel").cast("string"))
     val tso = shiftleft(unix_millis(col("pos_ts")), logicalBits) +
       pmod(col("pos_event_id"), lit(1L << logicalBits))
-    val varintHex = concat(
-      (0 until 8).map(j => lpad(hex(shiftright(col("tso"), 7 * j)
-        .bitwiseAND(lit(127L)).bitwiseOR(lit(128L))), 2, "0")) :+
-        lpad(hex(shiftright(col("tso"), 56).bitwiseAND(lit(127L))), 2, "0"): _*)
+    // Wire build/parse are native expressions ([[graft.functions
+    // .PositionWireCodec]] documents the byte-for-byte equivalence with
+    // the hex-string Column formulation this replaces): the ~200-node
+    // lpad∘hex / conv∘substr tree cost ~0.3-0.5 s of analysis+optimizer
+    // DRIVER time per invocation — more than the op's entire execution at
+    // metadata row counts — and its per-row hex round-trips were the only
+    // non-primitive work left in the projection.
     val enc = saves
       .withColumn("channel_name", name).withColumn("tso", tso)
-      .withColumn("pos_b64", base64(unhex(concat(
-        lit("0A"), lpad(hex(length(col("channel_name"))), 2, "0"), hex(col("channel_name")),
-        lit("1208"), lpad(hex(col("pos_event_id")), 16, "0"),
-        lit("20"), varintHex))))
-    // Decode strictly from the blob: unbase64 → hex, then wire-format
-    // field slicing (name length is dynamic, hence Column.substr).
-    val h = hex(unbase64(col("pos_b64")))
-    val nameLen = conv(substring(h, 3, 2), 16, 10).cast("int")
-    val p1 = nameLen * 2 + lit(5) // position of the msgID tag "1208"
-    val decodedName = unhex(h.substr(lit(5), nameLen * 2)).cast("string")
-    val decodedId = conv(h.substr(p1 + 4, lit(16)), 16, 10).cast("long")
-    val decodedTso = (0 until 9).map(j =>
-      shiftleft(conv(h.substr(p1 + 22 + 2 * j, lit(2)), 16, 10).cast("long")
-        .bitwiseAND(lit(127L)), 7 * j)).reduce(_ + _)
+      .withColumn("pos_b64", base64(GraftSql.column(
+        graft.functions.PositionWireEncode(
+          GraftSql.expression(col("channel_name")),
+          GraftSql.expression(col("pos_event_id")),
+          GraftSql.expression(col("tso"))))))
+    // Decode strictly from the blob (unbase64 → byte slicing); `dec` is
+    // one attribute so the blob parses once per row, and CollapseProject
+    // keeps it that way (multi-referenced non-cheap projections are not
+    // inlined).
+    val dec = GraftSql.column(graft.functions.PositionWireDecode(
+      GraftSql.expression(unbase64(col("pos_b64")))))
     enc
+      .withColumn("dec", dec)
       .withColumn("task_id", pmod(col("channel"), lit(NumTasks)))
       .withColumn("store_key",
         taskPositionKey(lit("cdc"), col("task_id").cast("string"), col("collection_id")))
-      .withColumn("decoded_channel_name", decodedName)
-      .withColumn("decoded_event_id", decodedId)
-      .withColumn("decoded_phys_ms", shiftright(decodedTso, logicalBits))
+      .withColumn("decoded_channel_name", col("dec.name"))
+      .withColumn("decoded_event_id", col("dec.event_id"))
+      .withColumn("decoded_phys_ms", shiftright(col("dec.tso"), logicalBits))
       .withColumn("roundtrip_ok",
         col("decoded_channel_name") === col("channel_name") &&
           col("decoded_event_id") === col("pos_event_id") &&
