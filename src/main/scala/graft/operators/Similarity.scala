@@ -871,11 +871,16 @@ object Similarity {
     * corpus; a constant dim would quantize to NaN and fail the gate.
     */
   def scalarQuantize(spark: SparkSession, dir: String): DataFrame = {
+    // No orderBy before the collect: sorting dim rows range-partitions the
+    // agg output, and RangePartitioning's boundary-sampling pass re-runs
+    // the whole fit subtree as a second job (measured 0.4-0.7 s with vs
+    // 0.33-0.39 s without at sf0.1 — ProbeSq8). The driver sorts the
+    // dim-sized result instead; values are identical.
     val stats = embeddings(spark, dir)
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
-      .orderBy(col("pos")).collect()
+      .collect().sortBy(_.getInt(0))
     val mins = stats.map(_.getDouble(1))
     val spans = stats.map(r => r.getDouble(2) - r.getDouble(1))
     // Enforce the documented assumption instead of surfacing it as an
