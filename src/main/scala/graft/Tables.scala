@@ -125,6 +125,59 @@ object Tables {
 
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+
+  /** Driver-side parquet footer (min, max) of an INT64 column — metadata
+    * only, NO Spark job, memoized like [[footerRowCount]]. Feeds the
+    * broadcast-grid gates in [[graft.cdc.Cdc]]: the ts span bounds the
+    * time-bucket count, turning a "broadcast the grid" hint into a
+    * decision a 100 TB corpus can veto. None when any row group lacks
+    * stats for the column (never observed on real corpora; callers fall
+    * back to the planner's choice).
+    */
+  def footerLongRange(spark: SparkSession, path: String,
+      column: String): Option[(Long, Long)] = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    def walk(st: FileStatus): Seq[FileStatus] = {
+      val name = st.getPath.getName
+      if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+      else if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else Seq(st)
+    }
+    val files = walk(fs.getFileStatus(p))
+    val sig = (path, column, files.map(_.getLen).sum,
+      files.map(_.getModificationTime).maxOption.getOrElse(0L))
+    longRangeCache.computeIfAbsent(sig, { _ =>
+      val perChunk = files.flatMap { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          rdr.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == column).map { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else (st.genericGetMin(), st.genericGetMax()) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((mn.longValue(), mx.longValue()))
+                case _ => None
+              }
+            }.getOrElse(None) :: Nil
+          }.toSeq
+        } finally rdr.close()
+      }
+      if (perChunk.isEmpty || perChunk.exists(_.isEmpty)) None
+      else {
+        val vs = perChunk.flatten
+        Some((vs.map(_._1).min, vs.map(_._2).max))
+      }
+    })
+  }
+
+  private val longRangeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long, Long), Option[(Long, Long)]]()
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =

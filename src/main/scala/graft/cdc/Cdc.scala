@@ -150,7 +150,45 @@ object Cdc {
       .select(col("event_id").as("ddl_id"), col("ts").as("ddl_ts"))
     barrierTsFrom(
       ev.select(pmod(col("user_id"), lit(NumChannels)).as("channel"), col("ts")),
-      ddls, NumChannels)
+      ddls, NumChannels,
+      broadcastGrid = gridFits(tsBucketCount(spark, dir, 86400L)
+        .map(_ * NumChannels)))
+  }
+
+  /** Grid-broadcast gate for the bucket-decomposed window ops. The
+    * (channel, bucket) grids are usually tiny (channels × time-buckets for
+    * barrier/seek, channels × offset-buckets for the ordering audit), but
+    * they GROW with the corpus — day buckets with the time span, offset
+    * buckets linearly with the event count — so an unconditional hint
+    * would eventually push a multi-GB relation at the 8 GB / 512M-row
+    * broadcast cap and fail the query outright. The cap here is rows
+    * (~50 MB framed), decided from parquet-footer metadata (row count /
+    * ts span — no Spark job); above it the hint is dropped and the
+    * planner keeps its hash/sort-merge fallback.
+    */
+  private[graft] val GridBroadcastMaxRows = 2000000L
+
+  private[graft] def gridFits(estimatedRows: Option[Long]): Boolean =
+    estimatedRows.exists(_ <= GridBroadcastMaxRows)
+
+  private def maybeBroadcast(df: DataFrame, hint: Boolean): DataFrame =
+    if (hint) broadcast(df) else df
+
+  /** Time-bucket count of the events corpus from footer ts min/max —
+    * nanos for the legacy TIMESTAMP(NANOS) long encoding, micros for the
+    * TIMESTAMP_MICROS encodings (both INT64 in the footer). None when
+    * stats are absent (⇒ callers drop the hint: at unknown scale the
+    * planner's fallback is the safe side).
+    */
+  private def tsBucketCount(spark: SparkSession, dir: String,
+      bucketWidth: Long): Option[Long] = {
+    val perSec = graft.Tables.eventsTsType(spark, dir) match {
+      case org.apache.spark.sql.types.LongType => 1000000000L
+      case _ => 1000000L
+    }
+    graft.Tables.footerLongRange(spark, s"$dir/events.parquet", "ts").map {
+      case (mn, mx) => (mx / perSec / bucketWidth) - (mn / perSec / bucketWidth) + 1L
+    }
   }
 
   /** Barrier algebra on arbitrary (channel, ts) + (ddl_id, ddl_ts) frames —
@@ -177,7 +215,8 @@ object Cdc {
     * event ≥ the probe's ts is either in its bucket or a later one.
     */
   private[graft] def barrierTsFrom(ch: DataFrame, ddls: DataFrame,
-      numChannels: Int, bucketWidth: Long = 86400L): DataFrame = {
+      numChannels: Int, bucketWidth: Long = 86400L,
+      broadcastGrid: Boolean = true): DataFrame = {
     val evTsType = ch.schema("ts").dataType
     val ddlIdType = ddls.schema("ddl_id").dataType
     val probes = ddls.crossJoin(ch.select(col("channel")).distinct())
@@ -213,7 +252,7 @@ object Cdc {
     val crossings = all
       .withColumn("in_bucket_min", min(col("ev_ts")).over(wIn))
       .filter(col("is_probe") === 1)
-      .join(broadcast(bucketGrid), Seq("channel", "bucket"))
+      .join(maybeBroadcast(bucketGrid, broadcastGrid), Seq("channel", "bucket"))
       .withColumn("first_crossing", least(col("in_bucket_min"), col("later_min")))
       .filter(col("first_crossing").isNotNull)
     crossings.groupBy(col("ddl_id"), col("ddl_ts"))
@@ -246,7 +285,18 @@ object Cdc {
     // the tiny grid BROADCASTS back — see [[barrierTsFrom]] for why this
     // beats a one-pass shared-window formulation (pruning-specialized
     // exchanges defeat ReuseExchange, and the grid re-execution then pays
-    // a full sort+window instead of a partial agg).
+    // a full sort+window instead of a partial agg). This grid grows
+    // LINEARLY with the event count (one row per channel × 4096-offset
+    // bucket), so the hint is gated ([[gridFits]]) on the bucket count
+    // bounded by the footer event_id range — and by the row count, which
+    // bounds the distinct (channel, bucket) pairs when ids are sparse;
+    // past the cap the planner keeps its own strategy.
+    val rows = graft.Tables.footerRowCount(spark, s"$dir/events.parquet")
+    val idBuckets = graft.Tables
+      .footerLongRange(spark, s"$dir/events.parquet", "event_id")
+      .map { case (mn, mx) => mx / bucketSize - mn / bucketSize + 1L }
+    val hint = gridFits(Some(math.min(
+      rows, NumChannels * idBuckets.getOrElse(rows))))
     val wBuckets = Window.partitionBy(col("channel")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bucketMax = ev.groupBy(col("channel"), col("bucket"))
@@ -255,7 +305,7 @@ object Cdc {
       .drop("bmax")
     val wInBucket = Window.partitionBy(col("channel"), col("bucket"))
       .orderBy(col("event_id")).rowsBetween(Window.unboundedPreceding, -1)
-    ev.join(broadcast(bucketMax), Seq("channel", "bucket"))
+    ev.join(maybeBroadcast(bucketMax, hint), Seq("channel", "bucket"))
       .withColumn("prev_max",
         greatest(col("prev_buckets_max"), max(col("ts")).over(wInBucket)))
       .groupBy(col("channel"))
@@ -297,7 +347,9 @@ object Cdc {
       .select(col("channel"), col("ddl_ts").as("ts"), col("ddl_id"))
     val stream = ev.select(pmod(col("user_id"), lit(NumChannels)).as("channel"),
       col("ts"), col("event_id"))
-    seekAsofFrom(stream, probes)
+    seekAsofFrom(stream, probes,
+      broadcastGrid = gridFits(tsBucketCount(spark, dir, 86400L)
+        .map(_ * NumChannels)))
   }
 
   /** Backward-as-of algebra on arbitrary (channel, ts, event_id) stream +
@@ -328,7 +380,7 @@ object Cdc {
     * just to fold a tiny grid).
     */
   private[graft] def seekAsofFrom(stream: DataFrame, probes: DataFrame,
-      bucketWidth: Long = 86400L): DataFrame = {
+      bucketWidth: Long = 86400L, broadcastGrid: Boolean = true): DataFrame = {
     val evIdType = stream.schema("event_id").dataType
     val tsType = stream.schema("ts").dataType
     val ddlIdType = probes.schema("ddl_id").dataType
@@ -370,7 +422,7 @@ object Cdc {
     all
       .withColumn("in_bucket_max", max(col("pk")).over(wIn))
       .filter(col("is_probe") === 1)
-      .join(broadcast(bucketGrid), Seq("channel", "bucket"))
+      .join(maybeBroadcast(bucketGrid, broadcastGrid), Seq("channel", "bucket"))
       .withColumn("pos", greatest(col("in_bucket_max"), col("earlier_max")))
       .filter(col("pos").isNotNull)
       .select(col("ddl_id"), col("channel"),

@@ -84,6 +84,25 @@ class CdcSpec extends SparkSpec {
     assert(plan.contains("Window"), "carry-forward runs in one windowed pass")
   }
 
+  test("bucket-grid broadcast hint is gated on a footer-metadata size bound") {
+    // The gate itself: at/below the row cap the hint fires, above it (or
+    // with no stats signal) the planner keeps its fallback strategy.
+    assert(Cdc.gridFits(Some(Cdc.GridBroadcastMaxRows)))
+    assert(!Cdc.gridFits(Some(Cdc.GridBroadcastMaxRows + 1)))
+    assert(!Cdc.gridFits(None))
+    // The signal exists on real corpora (INT64 footer stats for ts and
+    // event_id), and at test scale the grids fit — the three window ops
+    // keep their broadcast plan shape.
+    assert(graft.Tables.footerLongRange(spark, s"$sfDir/events.parquet", "ts").isDefined)
+    assert(graft.Tables.footerLongRange(spark, s"$sfDir/events.parquet", "event_id").isDefined)
+    Seq(Cdc.barrierTs(spark, sfDir), Cdc.orderingAudit(spark, sfDir),
+        Cdc.seekAsof(spark, sfDir)).foreach { df =>
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+        s"grid must broadcast at test scale:\n${plan.take(1500)}")
+    }
+  }
+
   test("tsoConvert roundtrips: physical ms and logical counter parse back") {
     import org.apache.spark.sql.functions._
     val bad = Cdc.tsoConvert(spark, sfDir)
