@@ -711,7 +711,14 @@ object SignPackWord {
     var i = 0
     while (i < 32) {
       val idx = offset + i
-      if (idx < n && !e.isNullAt(idx) && e.getFloat(idx) > 0f) acc |= (1L << i)
+      if (idx < n && !e.isNullAt(idx)) {
+        // Spark SQL comparison semantics, not Java's: NaN is greater than
+        // any number, so a NaN element sets its bit exactly like the
+        // `when(element_at(e, i) > 0f, …)` chain this replaces (Java's
+        // `f > 0f` alone would clear it and flip binary codes).
+        val f = e.getFloat(idx)
+        if (f > 0f || java.lang.Float.isNaN(f)) acc |= (1L << i)
+      }
       i += 1
     }
     acc

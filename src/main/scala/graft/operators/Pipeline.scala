@@ -131,8 +131,11 @@ object Pipeline {
     val B = PackBucketWidth
     val cap = PackOffsetBroadcastCap
     // Memo key carries the corpus fingerprint (parity with DerivedState's
-    // durable-frame staleness contract: an in-place regeneration misses
-    // the memo instead of serving stale cached frames), and the plan is
+    // durable-frame staleness contract). NOTE the protection is
+    // cross-JVM-session: DerivedState.fingerprint is itself memoized per
+    // dir for the JVM's lifetime, so a corpus regenerated in place is
+    // re-fingerprinted (and this memo missed) only by a fresh session —
+    // the same contract the durable frames have. The plan is
     // built OUTSIDE the map's compute lambda under a per-key lock —
     // packPlan runs Spark jobs, and computeIfAbsent would serialize
     // unrelated corpora that hash to the same bin behind them (the same
@@ -212,5 +215,7 @@ object Pipeline {
   private def tracked(df: DataFrame): DataFrame = caches.tracked(df)
 
   /** Unpersist every frame this suite has cached. */
-  def clearCaches(): Unit = { caches.clear(); packed.clear() }
+  def clearCaches(): Unit = {
+    caches.clear(); packed.clear(); packLocks.clear()
+  }
 }
