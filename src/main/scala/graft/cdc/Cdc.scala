@@ -1203,13 +1203,31 @@ object Cdc {
     * not channel count. The batch-id numbering window runs over the
     * batch-level table (|batches| ≈ |msgs|/MaxCount).
     */
+  /** Cache gate for [[msgpackBatch]]'s shared narrow frame: the bucket
+    * stats and the row-level pass both consume (channel, event_id, sz) —
+    * caching it inside the query replaces the second events scan with an
+    * in-memory read. Measured A/B (ProbeSharedScan, warm): −25-40 % at
+    * 100k events, −15-30 % at 1M, noise at 10M — the win is the avoided
+    * scan+project pass, which shrinks relative to the shuffle/sort work
+    * as volume grows, so past this bound the cache is dropped and the op
+    * keeps its two pushed-down narrow scans (at 100 TB a cached copy of
+    * the narrow frame would pin ~40 TB of cluster memory/disk for a pass
+    * the scans do cheaper). The same A/B on barrierTs/seekAsof's union
+    * frame measured WORSE at 10M (+8-25 %) — those keep the double scan
+    * unconditionally (the union carries probe metadata columns, so its
+    * cached copy outweighs two narrow scans).
+    */
+  private[graft] val PackNarrowCacheMaxRows = 10000000L
+
   def msgpackBatch(spark: SparkSession, dir: String,
       maxCount: Int = PackMaxCount, maxBytes: Long = PackMaxMsgBytes): DataFrame =
     msgpackBatchFrom(
       events(spark, dir).select(
         pmod(col("user_id"), lit(NumChannels)).as("channel"),
         col("event_id"), packMsgBytes.as("sz")),
-      maxCount, maxBytes)
+      maxCount, maxBytes,
+      cacheNarrow = graft.Tables.footerRowCount(spark, s"$dir/events.parquet")
+        <= PackNarrowCacheMaxRows)
 
   /** The batching fold over an arbitrary (channel, event_id, sz) frame —
     * split out so the spec can replay the Go packer's semantics on
@@ -1223,7 +1241,7 @@ object Cdc {
     * PackerReference fold.
     */
   private[graft] def msgpackBatchFrom(msgs: DataFrame, maxCount: Int,
-      maxBytes: Long): DataFrame =
+      maxBytes: Long, cacheNarrow: Boolean = false): DataFrame =
     // Bucket width scales with channel width, capped at 64k: event_ids
     // interleave across channels, so a (channel, bucket) group holds
     // ~bucketSize/channels rows — a fixed 4096 at 256 channels means
@@ -1235,14 +1253,19 @@ object Cdc {
     // ch4 — 4096 and 65536 equal within noise. 64k is the stable choice
     // across widths; the cap keeps ≥ range/64k buckets of parallelism.
     msgpackBatchFromWidth(msgs, maxCount, maxBytes,
-      math.min(65536L, 4096L * math.max(1L, NumChannels / 4L)))
+      math.min(65536L, 4096L * math.max(1L, NumChannels / 4L)), cacheNarrow)
 
   /** [[msgpackBatchFrom]] with an explicit bucket width — probe seam. */
   private[graft] def msgpackBatchFromWidth(msgs: DataFrame, maxCount: Int,
-      maxBytes: Long, bucketSize: Long): DataFrame = {
-    val e = msgs
+      maxBytes: Long, bucketSize: Long, cacheNarrow: Boolean = false): DataFrame = {
+    val eRaw = msgs
       .withColumn("bucket", col("event_id") - pmod(col("event_id"), lit(bucketSize)))
       .withColumn("ov", (col("sz") > maxBytes).cast("long"))
+    // cacheNarrow (see [[PackNarrowCacheMaxRows]]): both branches below
+    // consume this frame; an in-session cache() (plan-equality shared, so
+    // repeat invocations reuse one entry) trades the second scan for an
+    // in-memory read when the volume gate says the frame is small.
+    val e = if (cacheNarrow) eRaw.cache() else eRaw
     // Per-bucket totals + cumulative counts across earlier buckets: a tiny
     // aggregate (|buckets| rows), so its cumulative window costs nothing.
     val wBuckets = Window.partitionBy(col("channel")).orderBy(col("bucket"))
