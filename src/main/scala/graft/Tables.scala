@@ -37,20 +37,46 @@ private[graft] final class CacheRegistry {
   * that reads all columns for a 2-column projection is the first bottleneck.
   */
 object Tables {
+  /** Parquet read with a MEMOIZED schema: plain `spark.read.parquet`
+    * re-infers the schema from file footers on every call — measured
+    * ~100-140 ms per read construction through the DataSource machinery
+    * (ProbeSchemaInfer) — and every declared query re-builds its reads
+    * each bench pass, 1-6 tables per query. The memo key carries the
+    * file set's (total length, max mtime) like [[footerRowCount]]'s, so
+    * a corpus regenerated in place re-infers instead of serving a stale
+    * schema. The explicit-schema read (~20 ms) still lists and validates
+    * files at planning; only the footer inference is skipped.
+    */
+  private def readTable(spark: SparkSession, path: String): DataFrame = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+      else Seq(f)
+    val fs = walk(new java.io.File(path))
+    val sig = (path, fs.map(_.length).sum,
+      fs.map(_.lastModified).maxOption.getOrElse(0L))
+    val schema = schemaCache.computeIfAbsent(sig,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lineitem.parquet")
+    readTable(spark, s"$dir/lineitem.parquet")
   def orders(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/orders.parquet")
+    readTable(spark, s"$dir/orders.parquet")
   def customer(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/customer.parquet")
+    readTable(spark, s"$dir/customer.parquet")
   def supplier(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/supplier.parquet")
+    readTable(spark, s"$dir/supplier.parquet")
   def part(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/part.parquet")
+    readTable(spark, s"$dir/part.parquet")
   def nation(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/nation.parquet")
+    readTable(spark, s"$dir/nation.parquet")
   def region(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/region.parquet")
+    readTable(spark, s"$dir/region.parquet")
   /** `events.ts` has shipped in two physical encodings: parquet
     * TIMESTAMP(NANOS) (which Spark 4 refuses to read as a timestamp — with
     * `nanosAsLong` it surfaces as a raw-nanos LongType) and plain
@@ -64,7 +90,7 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     val tsType = eventsTsType(spark, dir) // also sets nanosAsLong on a miss
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = readTable(spark, s"$dir/events.parquet")
     tsType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -179,9 +205,9 @@ object Tables {
   private val longRangeCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Long, Long), Option[(Long, Long)]]()
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    readTable(spark, s"$dir/documents.parquet")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    readTable(spark, s"$dir/embeddings.parquet")
 
   /** Register every testdata table as a temp view (plus the vector SQL
     * functions), so the whole engine is reachable from `spark.sql` — the
