@@ -152,7 +152,8 @@ object Cdc {
       ev.select(pmod(col("user_id"), lit(NumChannels)).as("channel"), col("ts")),
       ddls, NumChannels,
       broadcastGrid = gridFits(tsBucketCount(spark, dir, 86400L)
-        .map(_ * NumChannels)))
+        .map(_ * NumChannels)),
+      channels = Some(spark.range(NumChannels).select(col("id").as("channel"))))
   }
 
   /** Grid-broadcast gate for the bucket-decomposed window ops. The
@@ -216,10 +217,19 @@ object Cdc {
     */
   private[graft] def barrierTsFrom(ch: DataFrame, ddls: DataFrame,
       numChannels: Int, bucketWidth: Long = 86400L,
-      broadcastGrid: Boolean = true): DataFrame = {
+      broadcastGrid: Boolean = true,
+      channels: Option[DataFrame] = None): DataFrame = {
     val evTsType = ch.schema("ts").dataType
     val ddlIdType = ddls.schema("ddl_id").dataType
-    val probes = ddls.crossJoin(ch.select(col("channel")).distinct())
+    // The channel frame: callers that KNOW the channel universe (the
+    // declared op — channels are pmod-assigned 0..N-1) pass it as a range
+    // so the probe grid costs nothing; the generic default derives it
+    // with a distinct scan, which the union below would otherwise
+    // re-execute once per consumer. A channel with no events yields only
+    // null-crossing probe rows, filtered exactly like a channel absent
+    // from the distinct — results identical either way.
+    val probes = ddls.crossJoin(
+      channels.getOrElse(ch.select(col("channel")).distinct()))
     val evU = ch.select(col("channel"), col("ts"), col("ts").as("ev_ts"),
       lit(null).cast(ddlIdType).as("ddl_id"),
       lit(null).cast(evTsType).as("ddl_ts"), lit(0).as("is_probe"))
@@ -229,21 +239,30 @@ object Cdc {
     val all = evU.unionAll(prU)
       .withColumn("bucket", expr(s"CAST(ts AS LONG) DIV $bucketWidth"))
     // Per-(channel, bucket) event minima INCLUDING probe-only buckets
-    // (bmin null there), so every probe row finds its later_min row.
-    // The grid branch re-reads the union (a second pass over two narrow
-    // columns with map-side partial aggregation — cheap), but the tiny
-    // grid result is BROADCAST back to the row-level branch: the planner
-    // has no size estimate for an agg-under-window subtree and picked a
-    // SortMergeJoin, which exchanged AND sorted the probe side on
-    // (channel, bucket) (r17 plan audit). A one-pass shared-window
-    // formulation was tried and measured WORSE: column pruning
-    // specializes the two consumers' exchanges, ReuseExchange finds
-    // nothing, and the grid branch then pays the full sort+window instead
-    // of a partial agg.
+    // (bmin null there), so every probe row finds its later_min row. The
+    // grid aggregates the EVENT rows plus the probes' bare (channel,
+    // bucket) keys — NOT a re-read of the row-level union, which would
+    // re-execute every input scan a second time (the r17 formulation's
+    // 12-scan plan); min(ev_ts) over the union with null probe entries is
+    // exactly the old min(when(is_probe = 0, ev_ts)). The tiny grid
+    // result is BROADCAST back to the row-level branch (when the size
+    // gate allows): the planner has no size estimate for an
+    // agg-under-window subtree and picked a SortMergeJoin, which
+    // exchanged AND sorted the probe side on (channel, bucket) (r17 plan
+    // audit). A one-pass shared-window formulation was tried and measured
+    // WORSE: column pruning specializes the two consumers' exchanges,
+    // ReuseExchange finds nothing, and the grid branch then pays the full
+    // sort+window instead of a partial agg.
+    val evG = ch.select(col("channel"),
+      expr(s"CAST(ts AS LONG) DIV $bucketWidth").as("bucket"),
+      col("ts").as("ev_ts"))
+    val prG = probes.select(col("channel"),
+      expr(s"CAST(ddl_ts AS LONG) DIV $bucketWidth").as("bucket"),
+      lit(null).cast(evTsType).as("ev_ts"))
     val wLater = Window.partitionBy(col("channel")).orderBy(col("bucket"))
       .rowsBetween(1, Window.unboundedFollowing)
-    val bucketGrid = all.groupBy(col("channel"), col("bucket"))
-      .agg(min(when(col("is_probe") === 0, col("ev_ts"))).as("bmin"))
+    val bucketGrid = evG.unionAll(prG).groupBy(col("channel"), col("bucket"))
+      .agg(min(col("ev_ts")).as("bmin"))
       .withColumn("later_min", min(col("bmin")).over(wLater))
       .drop("bmin")
     val wIn = Window.partitionBy(col("channel"), col("bucket"))
@@ -402,12 +421,24 @@ object Cdc {
           + col("event_id")))
     // Per-(channel, bucket) event position maxima INCLUDING probe-only
     // buckets (bmax null there), so every probe row finds its grid row.
-    // Grid re-reads the union (narrow partial agg) and BROADCASTS back —
-    // see [[barrierTsFrom]] for why this beats both the former
-    // SortMergeJoin and a one-pass shared-window formulation.
+    // The grid aggregates the EVENT rows plus the probes' bare (channel,
+    // bucket) keys — not a re-read of the row-level union, which would
+    // re-execute every input scan twice (see [[barrierTsFrom]]); max(pk)
+    // with null probe entries ≡ the old max over the union. The tiny
+    // grid BROADCASTS back (size-gated) — see [[barrierTsFrom]] for why
+    // this beats both the former SortMergeJoin and a one-pass
+    // shared-window formulation.
+    val evG = stream
+      .withColumn("bucket", expr(s"CAST(ts AS LONG) DIV $bucketWidth"))
+      .select(col("channel"), col("bucket"),
+        (tsRaw.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * expr(packShift) + col("event_id")).as("pk"))
+    val prG = probes
+      .select(col("channel"), expr(s"CAST(ts AS LONG) DIV $bucketWidth").as("bucket"),
+        lit(null).cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("pk"))
     val wEarlier = Window.partitionBy(col("channel")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketGrid = all.groupBy(col("channel"), col("bucket"))
+    val bucketGrid = evG.unionAll(prG).groupBy(col("channel"), col("bucket"))
       .agg(max(col("pk")).as("bmax"))
       .withColumn("earlier_max", max(col("bmax")).over(wEarlier))
       .drop("bmax")
