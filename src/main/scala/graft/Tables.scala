@@ -258,12 +258,14 @@ object Tables {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // Frames without real stats (local relations, some non-file plans)
     // report defaultSizeInBytes (Long.MaxValue) — that's "unknown", not
-    // "huge": fall back to the physical partition-count check there, so a
-    // tiny statless frame still gets spread. File scans (every production
-    // caller) never hit the fallback.
-    if (est >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
-      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-    } else if (est < BigInt(par) * BigInt(maxSplit)) df.repartition(par)
+    // "huge": spread them. The former fallback read df.rdd.getNumPartitions,
+    // which forces physical planning + RDD DAG construction on the DRIVER
+    // per call — a latent cost spike for any statless caller. Statless
+    // frames here are local/constructed relations (tiny by construction);
+    // file scans (every production caller) carry real stats and never hit
+    // this branch.
+    if (est >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) df.repartition(par)
+    else if (est < BigInt(par) * BigInt(maxSplit)) df.repartition(par)
     else df
   }
 }
